@@ -1,0 +1,153 @@
+"""Environment semantics tests (pure functions, shapes, reward, destroy).
+
+Mirrors SURVEY.md section 4's prescribed test pyramid item (b): pure-function
+env tests against closed-form values and reference-documented behavior.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapdn_tpu.envs import EnvConfig, make_env
+from mapdn_tpu.envs.barriers import BARRIERS
+
+
+def test_barriers_closed_form():
+    v = jnp.asarray([0.9, 0.95, 1.0, 1.05, 1.1])
+    np.testing.assert_allclose(BARRIERS["l1"](v), np.abs(np.asarray(v) - 1.0), atol=1e-12)
+    np.testing.assert_allclose(BARRIERS["l2"](v), 2 * (np.asarray(v) - 1.0) ** 2, atol=1e-12)
+    cb = BARRIERS["courant_beltrami"](v)
+    np.testing.assert_allclose(cb, [0.0025, 0, 0, 0, 0.0025], atol=1e-12)
+    # bowl: linear branch outside the 0.05 band, gaussian inside
+    b = BARRIERS["bowl"](jnp.asarray([0.9, 1.0]))
+    assert abs(float(b[0]) - (2 * 0.1 - 0.095)) < 1e-9
+    assert abs(float(b[1]) - (-0.01 / np.sqrt(2 * np.pi * 0.01) + 0.04)) < 1e-9
+    # bump: reference piecewise shape at v ~ 1 pu
+    bp = BARRIERS["bump"](jnp.asarray([0.98, 1.02]))
+    assert float(bp[0]) == pytest.approx(np.exp(-1 / (1 - 0.98**4)), rel=1e-6)
+    assert float(bp[1]) == pytest.approx(np.exp(-1 / (1 - (1.02 - 2) ** 4)), rel=1e-6)
+
+
+@pytest.fixture(scope="module")
+def env33():
+    return make_env("case33", EnvConfig(episode_limit=10), days=8, dtype=jnp.float64)
+
+
+def test_reset_shapes_and_env_info(env33):
+    env = env33
+    info = env.get_env_info()
+    assert info["n_agents"] == 6 and info["n_actions"] == 1
+    state, obs, gs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (6, info["obs_shape"])
+    assert gs.shape == (info["state_shape"],)
+    # state vector: 2*33 bus p/q + 6 pv + 6 q + 33 vm + 33 va
+    assert info["state_shape"] == 66 + 6 + 6 + 33 + 33
+    assert bool(jnp.all(jnp.isfinite(obs))) and bool(jnp.all(jnp.isfinite(gs)))
+    # voltages solved: vm block within a sane band
+    vm = state.vm
+    assert 0.8 < float(vm.min()) and float(vm.max()) < 1.2
+
+
+def test_step_reward_matches_formula(env33):
+    env = env33
+    state, obs, gs = env.reset(jax.random.PRNGKey(1))
+    a = jnp.zeros(6)  # zero reactive injection
+    out = env.step(state, a, jax.random.PRNGKey(2))
+    # q = 0 -> reward = -mean(barrier(v)) * w_v (q_loss term zero)
+    expect = -float(jnp.mean(BARRIERS["l1"](out.state.vm)))
+    assert float(out.reward) == pytest.approx(expect, abs=1e-9)
+    assert float(out.info["q_loss"]) == 0.0
+    assert float(out.info["destroy"]) == 0.0
+
+
+def test_action_to_q_mapping(env33):
+    env = env33
+    state, _, _ = env.reset(jax.random.PRNGKey(3))
+    a = 0.5 * jnp.ones(6)
+    out = env.step(state, a, jax.random.PRNGKey(4))
+    cap = jnp.sqrt(jnp.maximum(env.ts.s_max**2 - state.pv_p**2, 0.0))
+    np.testing.assert_allclose(np.asarray(out.state.sgen_q), np.asarray(0.5 * cap), rtol=1e-12)
+
+
+def test_episode_termination_at_limit(env33):
+    env = env33
+    state, _, _ = env.reset(jax.random.PRNGKey(5))
+    key = jax.random.PRNGKey(6)
+    term = False
+    for i in range(9):
+        key, k = jax.random.split(key)
+        out = env.step(state, jnp.zeros(6), k)
+        state = out.state
+        term = bool(out.terminated)
+    assert term  # episode_limit=10, counter starts at 1 -> 9 steps terminate
+
+
+def test_manual_reset_deterministic(env33):
+    env = env33
+    s1, o1, g1 = env.manual_reset(2, 10, 5)
+    s2, o2, g2 = env.manual_reset(2, 10, 5)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    # no-noise steps are deterministic too
+    out1 = env.step(s1, 0.1 * jnp.ones(6), jax.random.PRNGKey(0), add_noise=False)
+    out2 = env.step(s2, 0.1 * jnp.ones(6), jax.random.PRNGKey(0), add_noise=False)
+    np.testing.assert_array_equal(np.asarray(out1.obs), np.asarray(out2.obs))
+
+
+def test_vmap_batched_env(env33):
+    env = env33
+    B = 5
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    states, obs, gs = jax.vmap(env.reset)(keys)
+    assert obs.shape == (B, 6, env.obs_size)
+    acts = jnp.zeros((B, 6))
+    step_keys = jax.random.split(jax.random.PRNGKey(8), B)
+    out = jax.vmap(env.step)(states, acts, step_keys)
+    assert out.reward.shape == (B,)
+    assert out.obs.shape == (B, 6, env.obs_size)
+    assert bool(jnp.all(jnp.isfinite(out.reward)))
+
+
+def test_auto_reset_restarts_lane(env33):
+    env = env33
+    state, _, _ = env.reset(jax.random.PRNGKey(9))
+    key = jax.random.PRNGKey(10)
+    # run past the episode limit with auto_reset_step; step counter must wrap
+    for i in range(12):
+        key, k = jax.random.split(key)
+        out = env.auto_reset_step(state, jnp.zeros(6), k)
+        state = out.state
+    assert int(state.step) <= 10
+
+
+def test_decentralised_mode():
+    env = make_env("case33", EnvConfig(mode="decentralised", episode_limit=5),
+                   days=8, dtype=jnp.float64)
+    info = env.get_env_info()
+    assert info["n_agents"] == 4          # zones
+    assert info["n_actions"] == 6         # one slot per sgen
+    # avail mask routes each zone's action slots
+    avail = np.asarray(env.avail_actions)
+    assert avail.shape == (4, 6)
+    assert avail.sum() == 6.0
+    state, obs, gs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape[0] == 4
+    # translate: per-agent rows of n_sgen entries -> (n_sgen,) via zone mask
+    agent_actions = jnp.ones((4, 6))
+    sgen_acts = env.translate_actions(agent_actions)
+    assert sgen_acts.shape == (6,)
+    out = env.step(state, sgen_acts, jax.random.PRNGKey(1))
+    assert bool(jnp.isfinite(out.reward))
+
+
+def test_destroy_semantics():
+    """Forced divergence (absurd load) must penalize, roll back, terminate."""
+    env = make_env("case33", EnvConfig(episode_limit=240), days=8, dtype=jnp.float64)
+    state, _, _ = env.reset(jax.random.PRNGKey(11))
+    bad = state.replace(load_p=state.load_p * 1e4, load_q=state.load_q * 1e4)
+    out = env.step(bad, jnp.zeros(6), jax.random.PRNGKey(12))
+    assert float(out.info["destroy"]) == 1.0
+    assert bool(out.terminated)
+    assert float(out.reward) < -150.0
+    # rollback: voltages kept from the pre-action state
+    np.testing.assert_array_equal(np.asarray(out.state.vm), np.asarray(state.vm))
