@@ -1,0 +1,70 @@
+"""On-HBM ring replay buffer for vectorized rollouts.
+
+The reference keeps a Python list of 5,000 numpy transitions on the host and
+samples one contiguous 32-step window per update
+(reference utilities/replay_buffer.py:19-29 `get_truncated_episodes_batch`).
+Here the buffer is a preallocated pytree of device arrays shaped
+(capacity, n_env, ...) written in-place under jit (functional .at[] updates
+with buffer donation), so rollout -> store -> sample -> update never leaves
+the device.
+
+Semantics parity: `sample_window` draws a time-contiguous window of
+``batch_size`` steps (uniform start over the filled region, FIFO eviction),
+the exact analog of the reference's truncated-episode sampling, generalized
+over the env-lane axis.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ReplayState:
+    data: dict          # pytree of (capacity, n_env, ...) arrays
+    ptr: jnp.ndarray    # () int32 next write slot
+    size: jnp.ndarray   # () int32 number of valid slots
+
+
+def init_replay(capacity: int, example: dict) -> ReplayState:
+    """Allocate from one example transition pytree of (n_env, ...) arrays."""
+    data = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((capacity,) + x.shape, x.dtype), example)
+    return ReplayState(
+        data=data, ptr=jnp.asarray(0, jnp.int32), size=jnp.asarray(0, jnp.int32))
+
+
+def add(state: ReplayState, trans: dict) -> ReplayState:
+    """Append one step of (n_env, ...) transitions (FIFO ring)."""
+    capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
+    data = jax.tree_util.tree_map(
+        lambda buf, x: buf.at[state.ptr].set(x), state.data, trans)
+    return ReplayState(
+        data=data,
+        ptr=(state.ptr + 1) % capacity,
+        size=jnp.minimum(state.size + 1, capacity))
+
+
+def sample_window(state: ReplayState, key, batch_size: int) -> dict:
+    """Contiguous window of `batch_size` steps, shape (batch_size, n_env, ...).
+
+    Start index uniform over [0, size - batch_size] in logical (oldest-first)
+    order, mapped through the ring (reference replay_buffer.py:19-23).
+    Caller guarantees size >= batch_size (reference gates on the same
+    condition, model.py:42-44).
+    """
+    capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
+    max_start = jnp.maximum(state.size - batch_size, 0)
+    start = jax.random.randint(key, (), 0, max_start + 1)
+    oldest = jnp.where(state.size < capacity, 0, state.ptr)
+    idx = (oldest + start + jnp.arange(batch_size)) % capacity
+    return jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
+
+
+def clear(state: ReplayState) -> ReplayState:
+    """On-policy post-update clear (reference model.py:55-56)."""
+    return ReplayState(
+        data=state.data,
+        ptr=jnp.asarray(0, jnp.int32),
+        size=jnp.asarray(0, jnp.int32))

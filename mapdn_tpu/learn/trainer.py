@@ -1,0 +1,350 @@
+"""PGTrainer: fused vectorized rollout + update runtime.
+
+Re-design of the reference training runtime (reference utilities/trainer.py
++ the rollout loop in models/model.py:197-263).  The reference steps ONE
+host env, ping-ponging tensors CPU<->GPU every step and pausing every 60
+steps for 11 optimizer mini-steps (SURVEY.md section 3.1).  Here one jitted
+`train_chunk` runs `behaviour_update_freq` vectorized env steps (lax.scan
+over time, n_envs lanes, power flow on device) AND the update phase
+(value/policy/mixer epochs sampling the on-HBM replay) in a single XLA
+program — zero host transfers inside the hot loop.
+
+Cadence parity (reference args/default.yaml):
+  every behaviour_update_freq env steps: value_update_epochs value steps,
+  policy_update_epochs policy steps (+ entropy bonus), mixer epochs if the
+  algorithm has a mixer; soft target update every target_update_freq steps;
+  on-policy algorithms clear the buffer after updating
+  (reference model.py:39-70).
+Stats names mirror the reference's tensorboard keys (mean_train_*).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mapdn_tpu.algos.base import AlgoState, Transition, soft_update
+from mapdn_tpu.learn import replay as rb
+from mapdn_tpu.learn.sampling import (
+    global_norm, normal_entropy, translate_action)
+
+
+@struct.dataclass
+class TrainerCarry:
+    env_state: Any            # batched EnvState (n_envs lanes)
+    obs: jnp.ndarray          # (n_envs, n_agents, obs_dim)
+    last_hid: jnp.ndarray     # (n_envs, n_agents, hid)
+    algo: AlgoState
+    replay: rb.ReplayState
+    rng: jnp.ndarray
+    steps: jnp.ndarray        # () int32 env-step counter (per lane)
+
+
+class PGTrainer:
+    def __init__(self, cfg, model, env):
+        self.cfg = cfg
+        self.model = model
+        self.env = env
+        self.n_envs = cfg.n_envs
+        self.avail = env.avail_actions
+        self.steps = 0
+        self.episodes = 0
+
+        self._chunk_len = min(cfg.behaviour_update_freq, cfg.max_steps)
+        self._chunks_per_episode = max(cfg.max_steps // self._chunk_len, 1)
+
+        self._jit_chunk = jax.jit(self._train_chunk, donate_argnums=(0,))
+        self._jit_eval = jax.jit(self._eval_rollout)
+        self._jit_soft_update = jax.jit(self._soft_update)
+
+    # ------------------------------------------------------------------ init
+    def init_carry(self, key) -> TrainerCarry:
+        cfg = self.cfg
+        k_algo, k_env, k_rng = jax.random.split(key, 3)
+        algo = self.model.init_state(k_algo)
+        env_keys = jax.random.split(k_env, self.n_envs)
+        env_state, obs, _ = jax.vmap(self.env.reset)(env_keys)
+        last_hid = self.model.init_hidden(self.n_envs, obs.dtype)
+
+        example = self._example_transition(obs)
+        replay = rb.init_replay(int(cfg.replay_buffer_size), example)
+        return TrainerCarry(
+            env_state=env_state, obs=obs, last_hid=last_hid, algo=algo,
+            replay=replay, rng=k_rng, steps=jnp.asarray(0, jnp.int32))
+
+    def _example_transition(self, obs):
+        n, a, h = self.model.n, self.model.act_dim, self.model.hid_dim
+        z = lambda *shape: jnp.zeros((self.n_envs,) + shape, obs.dtype)
+        return Transition(
+            state=jnp.zeros_like(obs), action=z(n, a), log_prob_a=z(n, a),
+            value=z(n), next_value=z(n), reward=z(n),
+            next_state=jnp.zeros_like(obs), done=z(), last_step=z(),
+            last_hid=z(n, h), hid=z(n, h))
+
+    # --------------------------------------------------------------- rollout
+    def _rollout_value(self, algo, obs, act):
+        """Scalar per-agent value for transition storage (PPO's old_values)."""
+        v = self.model.value(algo.value_params, obs, act)
+        if isinstance(v, tuple):
+            v = v[0]
+        if v.ndim == 3:
+            v = jnp.mean(v, axis=1)  # e.g. SQDDPG (b, s, n)
+        return v
+
+    def _rollout_step(self, carry: TrainerCarry, _):
+        cfg = self.cfg
+        model = self.model
+        rng, k_act, k_next, k_env = jax.random.split(carry.rng, 4)
+
+        _, action_pol, log_prob, _, hid = model.get_actions(
+            carry.algo.policy_params, carry.obs, carry.last_hid, k_act,
+            status="train", exploration=True, avail=self.avail)
+        value = self._rollout_value(carry.algo, carry.obs, action_pol)
+
+        env_actions = jax.vmap(self.env.translate_actions)(action_pol)
+        env_keys = jax.random.split(k_env, self.n_envs)
+        out = jax.vmap(self.env.auto_reset_step)(
+            carry.env_state, env_actions, env_keys)
+
+        reward_rep = jnp.broadcast_to(
+            out.reward[:, None], (self.n_envs, model.n))
+        _, next_action_pol, _, _, _ = model.get_actions(
+            carry.algo.policy_params, out.obs, hid, k_next,
+            status="train", exploration=True, avail=self.avail)
+        next_value = self._rollout_value(carry.algo, out.obs, next_action_pol)
+
+        done = out.terminated.astype(carry.obs.dtype)
+        trans = Transition(
+            state=carry.obs,
+            action=jax.lax.stop_gradient(action_pol),
+            log_prob_a=jax.lax.stop_gradient(log_prob),
+            value=jax.lax.stop_gradient(value),
+            next_value=jax.lax.stop_gradient(next_value),
+            reward=reward_rep,
+            next_state=out.obs,
+            done=done,
+            last_step=done,
+            last_hid=carry.last_hid,
+            hid=hid)
+        replay = rb.add(carry.replay, trans)
+
+        # terminated lanes restart their GRU state (reference model.py:207)
+        next_hid = jnp.where(out.terminated[:, None, None], 0.0, hid)
+
+        step_stats = {"mean_train_reward": jnp.mean(out.reward)}
+        for k, v in out.info.items():
+            step_stats["mean_train_" + k] = jnp.mean(v)
+
+        new_carry = carry.replace(
+            env_state=out.state, obs=out.obs, last_hid=next_hid,
+            replay=replay, rng=rng, steps=carry.steps + 1)
+        return new_carry, step_stats
+
+    # --------------------------------------------------------------- updates
+    def _policy_loss_fn(self, policy_params, algo, batch, key):
+        st = algo.replace(policy_params=policy_params)
+        pl, _, (means, log_stds) = self.model.get_loss(
+            st, batch, self.avail, key)
+        ent = normal_entropy(means, log_stds)
+        if self.cfg.entr > 0:
+            pl = pl - self.cfg.entr * ent
+        return pl, (pl, ent)
+
+    def _value_loss_fn(self, value_params, algo, batch, key):
+        st = algo.replace(value_params=value_params)
+        _, vl, _ = self.model.get_loss(st, batch, self.avail, key)
+        return vl, vl
+
+    def _mixer_loss_fn(self, mixer_params, algo, batch, key):
+        st = algo.replace(mixer_params=mixer_params)
+        _, vl, _ = self.model.get_loss(st, batch, self.avail, key)
+        return vl, vl
+
+    def _update_epochs(self, algo, replay, key, *, which, epochs):
+        """Scan `epochs` optimizer steps, each on a fresh sampled window
+        (reference trainer.py:58-71)."""
+        cfg = self.cfg
+        model = self.model
+
+        def epoch(carry, k):
+            algo = carry
+            k_samp, k_loss = jax.random.split(k)
+            batch = rb.sample_window(replay, k_samp, cfg.batch_size)
+            if which == "value":
+                grads, vl = jax.grad(self._value_loss_fn, has_aux=True)(
+                    algo.value_params, algo, batch, k_loss)
+                gn = global_norm(grads)
+                updates, opt = model.value_tx.update(
+                    grads, algo.value_opt, algo.value_params)
+                algo = algo.replace(
+                    value_params=optax_apply(algo.value_params, updates),
+                    value_opt=opt)
+                stats = {"mean_train_value_loss": vl,
+                         "mean_train_value_grad_norm": gn}
+            elif which == "policy":
+                grads, (pl, ent) = jax.grad(self._policy_loss_fn, has_aux=True)(
+                    algo.policy_params, algo, batch, k_loss)
+                gn = global_norm(grads)
+                updates, opt = model.policy_tx.update(
+                    grads, algo.policy_opt, algo.policy_params)
+                algo = algo.replace(
+                    policy_params=optax_apply(algo.policy_params, updates),
+                    policy_opt=opt)
+                stats = {"mean_train_policy_loss": pl,
+                         "mean_train_policy_grad_norm": gn,
+                         "mean_train_entropy": ent}
+            else:
+                grads, vl = jax.grad(self._mixer_loss_fn, has_aux=True)(
+                    algo.mixer_params, algo, batch, k_loss)
+                gn = global_norm(grads)
+                updates, opt = model.mixer_tx.update(
+                    grads, algo.mixer_opt, algo.mixer_params)
+                algo = algo.replace(
+                    mixer_params=optax_apply(algo.mixer_params, updates),
+                    mixer_opt=opt)
+                stats = {"mean_train_mixer_loss": vl,
+                         "mean_train_mixer_grad_norm": gn}
+            return algo, stats
+
+        keys = jax.random.split(key, epochs)
+        algo, stats = jax.lax.scan(epoch, algo, keys)
+        return algo, jax.tree_util.tree_map(jnp.mean, stats)
+
+    def _update_phase(self, algo, replay, key):
+        cfg = self.cfg
+        kv, kp, km = jax.random.split(key, 3)
+        algo, v_stats = self._update_epochs(
+            algo, replay, kv, which="value", epochs=cfg.value_update_epochs)
+        algo, p_stats = self._update_epochs(
+            algo, replay, kp, which="policy", epochs=cfg.policy_update_epochs)
+        stats = {**v_stats, **p_stats}
+        if self.model.uses_mixer and cfg.mixer_update_epochs:
+            algo, m_stats = self._update_epochs(
+                algo, replay, km, which="mixer", epochs=cfg.mixer_update_epochs)
+            stats.update(m_stats)
+        return algo, stats
+
+    def _soft_update(self, algo: AlgoState) -> AlgoState:
+        tau = self.cfg.target_lr
+        return algo.replace(
+            target_policy_params=soft_update(
+                algo.target_policy_params, algo.policy_params, tau),
+            target_value_params=soft_update(
+                algo.target_value_params, algo.value_params, tau),
+            target_mixer_params=soft_update(
+                algo.target_mixer_params, algo.mixer_params, tau))
+
+    # ----------------------------------------------------------- train chunk
+    def _train_chunk(self, carry: TrainerCarry):
+        cfg = self.cfg
+        carry, roll_stats = jax.lax.scan(
+            self._rollout_step, carry, None, length=self._chunk_len)
+        roll_stats = jax.tree_util.tree_map(jnp.mean, roll_stats)
+
+        rng, k_upd = jax.random.split(carry.rng)
+        carry = carry.replace(rng=rng)
+
+        ready = jnp.logical_and(
+            carry.replay.size >= cfg.batch_size,
+            carry.steps > cfg.replay_warmup)
+
+        # zero-stats skeleton for the warmup branch (eval_shape: no compute)
+        stats_shape = jax.eval_shape(
+            lambda a, r: self._update_phase(a, r, k_upd)[1],
+            carry.algo, carry.replay)
+
+        def do_update(args):
+            algo, replay = args
+            return self._update_phase(algo, replay, k_upd)
+
+        def no_update(args):
+            algo, _ = args
+            zeros = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), stats_shape)
+            return algo, zeros
+
+        algo, upd_stats = jax.lax.cond(
+            ready, do_update, no_update, (carry.algo, carry.replay))
+
+        replay = carry.replay
+        if self.model.on_policy:
+            # clear after update (reference model.py:55-56), only if updated
+            replay = replay.replace(
+                ptr=jnp.where(ready, 0, replay.ptr).astype(jnp.int32),
+                size=jnp.where(ready, 0, replay.size).astype(jnp.int32))
+
+        carry = carry.replace(algo=algo, replay=replay)
+        return carry, {**roll_stats, **upd_stats}
+
+    # ------------------------------------------------------------- eval loop
+    def _eval_rollout(self, algo: AlgoState, key):
+        """num_eval_episodes greedy episodes, vectorized
+        (reference model.py:265-302)."""
+        cfg = self.cfg
+        n_eval = cfg.num_eval_episodes
+        k_env, k_roll = jax.random.split(key)
+        env_keys = jax.random.split(k_env, n_eval)
+        env_state, obs, _ = jax.vmap(self.env.reset)(env_keys)
+        last_hid = self.model.init_hidden(n_eval, obs.dtype)
+
+        def step(carry, k):
+            env_state, obs, hid, alive = carry
+            k_act, k_env = jax.random.split(k)
+            _, action_pol, _, _, hid2 = self.model.get_actions(
+                algo.policy_params, obs, hid, k_act,
+                status="test", exploration=False, avail=self.avail)
+            env_actions = jax.vmap(self.env.translate_actions)(action_pol)
+            env_keys = jax.random.split(k_env, n_eval)
+            out = jax.vmap(self.env.step)(env_state, env_actions, env_keys)
+            stats = {"mean_test_reward": out.reward}
+            for kk, v in out.info.items():
+                stats["mean_test_" + kk] = v
+            stats = {k2: jnp.sum(v * alive) for k2, v in stats.items()}
+            n_alive = jnp.sum(alive)
+            alive = alive * (1.0 - out.terminated.astype(alive.dtype))
+            return (out.state, out.obs, hid2, alive), (stats, n_alive)
+
+        keys = jax.random.split(k_roll, cfg.max_steps)
+        alive0 = jnp.ones(n_eval, obs.dtype)
+        _, (stats, n_alive) = jax.lax.scan(
+            step, (env_state, obs, last_hid, alive0), keys)
+        total = jnp.maximum(jnp.sum(n_alive), 1.0)
+        return {k: jnp.sum(v) / total for k, v in stats.items()}
+
+    # -------------------------------------------------------------- user API
+    def run_episode(self) -> Dict[str, float]:
+        """One training 'episode' = max_steps vectorized env steps with the
+        reference's update cadence; returns the stat dict."""
+        stats_acc = []
+        for _ in range(self._chunks_per_episode):
+            self.carry, stats = self._jit_chunk(self.carry)
+            self.steps += self._chunk_len
+            if self.cfg.target and (
+                    self.steps % self.cfg.target_update_freq == 0):
+                self.carry = self.carry.replace(
+                    algo=self._jit_soft_update(self.carry.algo))
+            stats_acc.append(stats)
+        self.episodes += 1
+        out = {}
+        for k in stats_acc[0]:
+            out[k] = float(np.mean([float(s[k]) for s in stats_acc]))
+        return out
+
+    def evaluate(self) -> Dict[str, float]:
+        rng, k_eval = jax.random.split(self.carry.rng)
+        self.carry = self.carry.replace(rng=rng)
+        stats = self._jit_eval(self.carry.algo, k_eval)
+        return {k: float(v) for k, v in stats.items()}
+
+    def setup(self, seed=0):
+        self.carry = self.init_carry(jax.random.PRNGKey(seed))
+        return self
+
+
+def optax_apply(params, updates):
+    import optax
+    return optax.apply_updates(params, updates)
