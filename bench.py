@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: aggregate env-steps/s for fused MARL training on one chip.
+
+Config mirrors BASELINE.json's flagship single-chip target: 4096 vectorized
+case33 environments (each env step = one batched Newton-Raphson AC power
+flow) feeding an on-device MAPPO learner, rollout + update fused under jit.
+
+Baseline: the reference steps ONE pandapower env per process; pandapower is
+not installed here, so the baseline proxy is this repo's float64 numpy
+Newton-Raphson oracle (the same dense-NR-in-numpy compute class as
+pandapower's default solver, measured in-process), which if anything
+*overstates* the reference (no pandas bookkeeping, no torch round-trips).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "env-steps/s/chip", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_baseline_oracle(grid, load_p, load_q, repeats=50):
+    """float64 numpy NR solves/s (reference-compute-class proxy)."""
+    from mapdn_tpu.pf.reference import nr_solve_ref
+
+    n = grid.n_bus
+    p = np.zeros(n)
+    q = np.zeros(n)
+    np.add.at(p, np.asarray(grid.load_bus), -load_p)
+    np.add.at(q, np.asarray(grid.load_bus), -load_q)
+    g = np.asarray(grid.g_mat, np.float64)
+    b = np.asarray(grid.b_mat, np.float64)
+    nr_solve_ref(g, b, p, q)  # warm caches
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        nr_solve_ref(g, b, p * (0.8 + 0.4 * i / repeats), q)
+    dt = time.perf_counter() - t0
+    return repeats / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mapdn_tpu.algos import make_model
+    from mapdn_tpu.envs import EnvConfig, make_env
+    from mapdn_tpu.grid import make_case
+    from mapdn_tpu.learn.trainer import PGTrainer
+    from mapdn_tpu.utils.config import load_config
+
+    n_envs = 4096
+    env = make_env("case33", EnvConfig(episode_limit=240), days=40,
+                   dtype=jnp.float32)
+    info = env.get_env_info()
+    cfg, _ = load_config("mappo")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], n_envs=n_envs,
+        behaviour_update_freq=60, batch_size=32,
+        value_update_epochs=10, policy_update_epochs=10)
+    model = make_model("mappo", cfg)
+    trainer = PGTrainer(cfg, model, env).setup(seed=0)
+
+    # compile + warm up
+    trainer.carry, _ = trainer._jit_chunk(trainer.carry)
+    jax.block_until_ready(trainer.carry.obs)
+
+    chunks = 3
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        trainer.carry, stats = trainer._jit_chunk(trainer.carry)
+    jax.block_until_ready(trainer.carry.obs)
+    dt = time.perf_counter() - t0
+    steps = chunks * trainer._chunk_len * n_envs
+    env_sps = steps / dt
+
+    grid, load_p, load_q, _ = make_case("case33")
+    base_sps = measure_baseline_oracle(grid, load_p, load_q)
+
+    print(json.dumps({
+        "metric": "train env-steps/s/chip (4096 case33 envs, batched NR "
+                  "power flow, fused MAPPO learner)",
+        "value": round(env_sps, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_sps / base_sps, 1),
+        "baseline": round(base_sps, 1),
+        "baseline_kind": "float64 numpy NR oracle solves/s, single env "
+                         "(pandapower-class proxy; reference trains 1 env)",
+        "n_envs": n_envs,
+        "train_reward": float(stats.get("mean_train_reward", float("nan"))),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -230,10 +230,10 @@ class VoltageControlEnv:
         q = (g.sgen_inc @ sgen_q - g.load_inc @ load_q) / g.sn_mva
         return p, q
 
-    def _solve(self, load_p, load_q, pv_p, sgen_q):
+    def _solve(self, load_p, load_q, pv_p, sgen_q, vm0=None, va0=None):
         p, q = self._injections(load_p, load_q, pv_p, sgen_q)
         return nr_solve(self.grid, p, q, tol=self.cfg.pf_tol,
-                        max_iter=self.cfg.pf_max_iter)
+                        max_iter=self.cfg.pf_max_iter, vm0=vm0, va0=va0)
 
     def clip_reactive_power(self, actions, pv_p):
         """q = a * sqrt(s_max^2 - p^2) (reference voltage_control_env.py:568-572),
@@ -251,7 +251,7 @@ class VoltageControlEnv:
         return (interval + hour * self.steps_per_hour
                 + day * self.steps_per_day).astype(jnp.int32)
 
-    def _attempt_reset(self, t0, key, add_noise):
+    def _attempt_reset(self, t0, key, add_noise, vm0=None, va0=None):
         kn, ka = jax.random.split(key)
         # the reference consumes window row `history` (steps=1 at reset with
         # history=1 margin semantics, voltage_control_env.py:440-489)
@@ -264,13 +264,21 @@ class VoltageControlEnv:
             q0 = self.clip_reactive_power(a0, pv)
         else:
             q0 = jnp.zeros((self.grid.n_sgen,), pv.dtype)
-        res = self._solve(lp, lq, pv, q0)
+        res = self._solve(lp, lq, pv, q0, vm0=vm0, va0=va0)
+        # a failed solve must not leak NaNs into observations: fall back to a
+        # flat profile (the caller handles retry via the converged flag)
+        ok = res.converged
+        fin = lambda x, fb: jnp.where(ok, jnp.where(jnp.isfinite(x), x, fb), fb)
         state = EnvState(
             t=t,
             step=jnp.asarray(1, jnp.int32),
             load_p=lp, load_q=lq, pv_p=pv, sgen_q=q0,
-            vm=res.vm, va=res.va, p_bus=res.p_bus, q_bus=res.q_bus,
-            pl_mw=res.pl_mw, solved_pv_p=pv,
+            vm=fin(res.vm, jnp.ones_like(res.vm)),
+            va=fin(res.va, jnp.zeros_like(res.va)),
+            p_bus=fin(res.p_bus, jnp.zeros_like(res.p_bus)),
+            q_bus=fin(res.q_bus, jnp.zeros_like(res.q_bus)),
+            pl_mw=fin(res.pl_mw, jnp.zeros_like(res.pl_mw)),
+            solved_pv_p=pv,
             sum_rewards=jnp.asarray(0.0, pv.dtype),
             terminated=jnp.asarray(False),
             obs_hist=jnp.zeros(
@@ -477,19 +485,40 @@ class VoltageControlEnv:
         """step() that transparently re-resets terminated lanes — the
         vectorized-training analog of the reference's per-episode reset loop
         (models/model.py:204).  The returned obs/global_state on a reset
-        boundary come from the fresh episode."""
-        k_step, k_reset = jax.random.split(key)
+        boundary come from the fresh episode.
+
+        Branchless by design: under vmap a lane-level lax.cond lowers to
+        executing both branches anyway (and the nested retry while_loop
+        provokes a full-timeseries broadcast in XLA), so a single
+        warm-started reset attempt is computed unconditionally and selected
+        per lane.  A failed reset solve (rare: windows are drawn from
+        historically solvable data) leaves the fresh lane terminated so it
+        simply re-resets on the next step — a bounded retry spread over
+        steps instead of the reference's unbounded in-place loop
+        (voltage_control_env.py:107-134)."""
+        k_step, k_reset, k_t = jax.random.split(key, 3)
         out = self.step(state, sgen_actions, k_step, add_noise)
 
-        def do_reset(_):
-            s, obs, gs = self.reset(k_reset)
-            return s, obs, gs
+        t0 = self._sample_start(k_t)
+        fresh, ok = self._attempt_reset(
+            t0, k_reset, add_noise=add_noise, vm0=state.vm, va0=state.va)
+        fresh = fresh.replace(terminated=~ok)
+        obs_fresh, fresh = self._obs_and_push_hist(fresh)
+        gs_fresh = self.get_state(fresh)
 
-        def no_reset(_):
-            return out.state, out.obs, out.global_state
+        sel = out.terminated
 
-        s2, obs2, gs2 = jax.lax.cond(out.terminated, do_reset, no_reset, None)
-        return out.replace(state=s2, obs=obs2, global_state=gs2)
+        def pick(a, b):
+            mask = sel
+            while mask.ndim < a.ndim:
+                mask = mask[..., None]
+            return jnp.where(mask, a, b)
+
+        new_state = jax.tree_util.tree_map(pick, fresh, out.state)
+        return out.replace(
+            state=new_state,
+            obs=pick(obs_fresh, out.obs),
+            global_state=pick(gs_fresh, out.global_state))
 
     # -------------------------------------------------------------- env info
     def get_env_info(self):

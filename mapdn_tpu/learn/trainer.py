@@ -71,7 +71,12 @@ class PGTrainer:
         last_hid = self.model.init_hidden(self.n_envs, obs.dtype)
 
         example = self._example_transition(obs)
-        replay = rb.init_replay(int(cfg.replay_buffer_size), example)
+        # the reference's replay_buffer_size counts TOTAL transitions of one
+        # env (replay_buffer.py:6); with n_envs lanes the time-capacity is
+        # size/n_envs, floored at batch_size so window sampling stays valid
+        capacity = max(cfg.batch_size,
+                       -(-int(cfg.replay_buffer_size) // self.n_envs))
+        replay = rb.init_replay(capacity, example)
         return TrainerCarry(
             env_state=env_state, obs=obs, last_hid=last_hid, algo=algo,
             replay=replay, rng=k_rng, steps=jnp.asarray(0, jnp.int32))

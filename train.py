@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Training CLI — flag-compatible with the reference's train.py.
+
+    python train.py --alg maddpg --mode distributed --scenario case33_3min_final \
+        --voltage-barrier-type l1 --save-path ./out
+
+Reference parity (reference train.py): the same CLI surface, the 3-layer
+config merge, per-scenario action ranges, model/strategy registry lookup,
+log/model directory layout, per-episode stat logging and rolling model
+saves.  TPU extensions: --n-envs (vectorized lanes), --episodes override,
+--data-path to point at a real MAPDN dataset directory, full-state
+checkpointing for resume.
+"""
+import argparse
+import os
+import time
+
+import jax
+
+from mapdn_tpu.algos import STRATEGY_REGISTRY, make_model
+from mapdn_tpu.envs import EnvConfig, make_env
+from mapdn_tpu.learn.trainer import PGTrainer
+from mapdn_tpu.utils.checkpoint import save_checkpoint, save_model
+from mapdn_tpu.utils.config import load_config
+from mapdn_tpu.utils.logging import MetricsLogger
+
+
+def build_env_cfg(env_dict):
+    return EnvConfig(
+        mode=env_dict["mode"],
+        voltage_barrier_type=env_dict["voltage_barrier_type"],
+        voltage_weight=env_dict.get("voltage_weight", 1.0),
+        q_weight=env_dict.get("q_weight", 0.1),
+        line_weight=env_dict.get("line_weight"),
+        v_upper=env_dict.get("v_upper", 1.05),
+        v_lower=env_dict.get("v_lower", 0.95),
+        episode_limit=env_dict.get("episode_limit", 240),
+        history=env_dict.get("history", 1),
+        action_scale=env_dict["action_scale"],
+        action_bias=env_dict["action_bias"],
+        reset_action=env_dict.get("reset_action", True),
+        state_space=tuple(env_dict.get(
+            "state_space", ("pv", "demand", "reactive", "vm_pu", "va_degree"))),
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train a MARL agent (TPU).")
+    parser.add_argument("--save-path", type=str, default="./")
+    parser.add_argument("--alg", type=str, default="maddpg")
+    parser.add_argument("--env", type=str, default="var_voltage_control")
+    parser.add_argument("--alias", type=str, default="")
+    parser.add_argument("--mode", type=str, default="distributed",
+                        choices=["distributed", "decentralised"])
+    parser.add_argument("--scenario", type=str, default="case33_3min_final")
+    parser.add_argument("--voltage-barrier-type", type=str, default="l1")
+    # TPU extensions
+    parser.add_argument("--n-envs", type=int, default=None,
+                        help="vectorized env lanes (default from config)")
+    parser.add_argument("--episodes", type=int, default=None,
+                        help="override train_episodes_num")
+    parser.add_argument("--data-path", type=str, default=None,
+                        help="real MAPDN csv dataset directory")
+    parser.add_argument("--days", type=int, default=40,
+                        help="synthetic dataset length in days")
+    parser.add_argument("--seed", type=int, default=0)
+    argv = parser.parse_args()
+
+    overrides = {"seed": argv.seed}
+    if argv.n_envs:
+        overrides["n_envs"] = argv.n_envs
+    if argv.episodes:
+        overrides["train_episodes_num"] = argv.episodes
+    cfg, env_dict = load_config(
+        argv.alg, env=argv.env, scenario=argv.scenario, mode=argv.mode,
+        voltage_barrier_type=argv.voltage_barrier_type, overrides=overrides)
+
+    env = make_env(argv.scenario, build_env_cfg(env_dict),
+                   data_path=argv.data_path or env_dict.get("data_path"),
+                   days=argv.days, seed=argv.seed)
+    info = env.get_env_info()
+    cfg = cfg.replace(agent_num=info["n_agents"], obs_size=info["obs_shape"],
+                      action_dim=info["n_actions"],
+                      max_steps=min(cfg.max_steps, info["episode_limit"]))
+
+    log_name = "-".join(filter(None, [
+        argv.env, argv.scenario, argv.mode, argv.alg,
+        argv.voltage_barrier_type, argv.alias]))
+    save_path = argv.save_path.rstrip("/") + "/"
+    model_dir = os.path.join(save_path, "model_save", log_name)
+    tb_dir = os.path.join(save_path, "tensorboard", log_name)
+    os.makedirs(model_dir, exist_ok=True)
+    logger = MetricsLogger(tb_dir)
+    logger.log_config(cfg, env_dict)
+
+    strategy = STRATEGY_REGISTRY[argv.alg]
+    if strategy != "pg":
+        raise NotImplementedError(f"strategy {strategy}")
+
+    model = make_model(argv.alg, cfg)
+    trainer = PGTrainer(cfg, model, env).setup(seed=argv.seed)
+    print(f"{cfg}\n")
+    print(f"devices: {jax.devices()}  n_envs={cfg.n_envs}")
+
+    t0 = time.time()
+    for i in range(cfg.train_episodes_num):
+        stat = trainer.run_episode()
+        if i % cfg.eval_freq == cfg.eval_freq - 1 or i == 0:
+            stat.update(trainer.evaluate())
+        logger.log(stat, trainer.episodes)
+        if i % cfg.save_model_freq == cfg.save_model_freq - 1:
+            env_sps = (trainer.steps * cfg.n_envs) / (time.time() - t0)
+            print(f"\nEpisode: {trainer.episodes}  "
+                  f"({env_sps:,.0f} env-steps/s aggregate)")
+            for k, v in sorted(stat.items()):
+                print(f"{k}: {v:2.4f}")
+            save_model(os.path.join(model_dir, "model.pt"), trainer.carry.algo)
+            save_checkpoint(os.path.join(model_dir, "checkpoint"),
+                            trainer.carry, trainer.steps, trainer.episodes)
+            print("The model is saved!\n")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
