@@ -129,5 +129,17 @@ class VoltageControlWrapper:
     def _get_sgen_reactive(self):
         return np.asarray(self._state.sgen_q)
 
+    def render(self, mode="rgb_array"):
+        """RGB frame of the current grid state
+        (reference voltage_control_env.py:654-657)."""
+        from mapdn_tpu.envs.rendering import render
+        return render(self.env, self._state, mode=mode)
+
+    def res_pf_plot(self, path="plot_save/pf_res_plot"):
+        """Write PNG + HTML network heatmap
+        (reference voltage_control_env.py:659-674)."""
+        from mapdn_tpu.envs.rendering import pf_res_plot
+        return pf_res_plot(self.env, self._state, path)
+
     def close(self):
         pass

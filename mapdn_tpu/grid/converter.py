@@ -1,0 +1,113 @@
+"""Import real MAPDN / pandapower grids into the Grid pytree.
+
+The reference ships its networks as pandapower pickles (``model.p``,
+reference voltage_control_env.py:400-405).  pandapower is an optional
+dependency here (not required for anything else): when it is installed and
+a MAPDN dataset directory is present, these helpers convert the live net —
+buses, lines, transformers (as tap-ratio branches), loads, sgens, zones —
+into a :class:`mapdn_tpu.grid.model.Grid`, reordering buses so the ext-grid
+bus is index 0 (the solver's slack invariant).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mapdn_tpu.grid.model import make_grid
+
+
+def _zone_ids(zone_values):
+    """Map the reference's zone labels ('main', 'zone1', ...) to ints with
+    main = 0 (reference voltage_control_env.py:84 excludes the main zone)."""
+    ids = np.zeros(len(zone_values), np.int32)
+    for i, z in enumerate(zone_values):
+        z = str(z)
+        if z.startswith("zone"):
+            ids[i] = int(z[4:])
+    return ids
+
+
+def from_pandapower(net, name="imported", dtype=jnp.float32):
+    """Convert a live pandapower net.
+
+    Returns (grid, base_load_p MW, base_load_q Mvar, sgen_p_max MW) like
+    mapdn_tpu.grid.cases.make_case.  sgen_p_max here is the sgen p_mw column
+    (the env recomputes s_max from the time-series maximum like the
+    reference, voltage_control_env.py:515-521).
+    """
+    sn_mva = float(getattr(net, "sn_mva", 1.0))
+    f_hz = float(getattr(net, "f_hz", 50.0))
+
+    bus_idx = list(net.bus.index)
+    slack = int(net.ext_grid.bus.iloc[0])
+    order = [slack] + [b for b in bus_idx if b != slack]
+    pos = {b: i for i, b in enumerate(order)}
+
+    vn_kv = net.bus.vn_kv.loc[order].to_numpy(float)
+    zones = _zone_ids(net.bus.zone.loc[order].to_numpy())
+
+    f_bus, t_bus, r_ohm, x_ohm, c_nf, max_i, tap = [], [], [], [], [], [], []
+    for _, ln in net.line.iterrows():
+        f_bus.append(pos[int(ln.from_bus)])
+        t_bus.append(pos[int(ln.to_bus)])
+        length = float(ln.length_km)
+        par = float(getattr(ln, "parallel", 1) or 1)
+        r_ohm.append(float(ln.r_ohm_per_km) * length / par)
+        x_ohm.append(float(ln.x_ohm_per_km) * length / par)
+        c_nf.append(float(ln.c_nf_per_km) * length * par)
+        max_i.append(float(ln.max_i_ka) * par)
+        tap.append(1.0)
+
+    if getattr(net, "trafo", None) is not None:
+        for _, tr in net.trafo.iterrows():
+            # standard short-circuit-data transformer model mapped to a
+            # series branch on the LV base with an HV-side tap ratio
+            hv, lv = pos[int(tr.hv_bus)], pos[int(tr.lv_bus)]
+            vn_lv = float(tr.vn_lv_kv)
+            z_base = vn_lv**2 / float(tr.sn_mva)
+            zk = float(tr.vk_percent) / 100.0 * z_base
+            rk = float(tr.vkr_percent) / 100.0 * z_base
+            xk = np.sqrt(max(zk**2 - rk**2, 0.0))
+            ratio = (float(tr.vn_hv_kv) / vn_kv[hv]) / (vn_lv / vn_kv[lv])
+            tp = float(getattr(tr, "tap_pos", 0) or 0)
+            tn = float(getattr(tr, "tap_neutral", 0) or 0)
+            st = float(getattr(tr, "tap_step_percent", 0) or 0)
+            ratio *= 1.0 + (tp - tn) * st / 100.0
+            f_bus.append(hv)
+            t_bus.append(lv)
+            r_ohm.append(rk)
+            x_ohm.append(xk)
+            c_nf.append(0.0)
+            max_i.append(float(tr.sn_mva) / (np.sqrt(3) * vn_lv))
+            tap.append(ratio)
+
+    load_bus = np.array([pos[int(b)] for b in net.load.bus], np.int32)
+    load_p = net.load.p_mw.to_numpy(float)
+    load_q = net.load.q_mvar.to_numpy(float)
+
+    sgen_bus = np.array([pos[int(b)] for b in net.sgen.bus], np.int32)
+    sgen_zone = _zone_ids(net.sgen.name.to_numpy())
+    sgen_p = net.sgen.p_mw.to_numpy(float)
+
+    vm_slack = float(net.ext_grid.vm_pu.iloc[0])
+    grid = make_grid(
+        name=name, vn_kv=vn_kv, f_bus=np.array(f_bus, np.int32),
+        t_bus=np.array(t_bus, np.int32), r_ohm=np.array(r_ohm),
+        x_ohm=np.array(x_ohm), c_nf=np.array(c_nf),
+        max_i_ka=np.array(max_i), load_bus=load_bus, sgen_bus=sgen_bus,
+        bus_zone=zones, sgen_zone=sgen_zone, slack_vm=vm_slack,
+        sn_mva=sn_mva, f_hz=f_hz, tap=np.array(tap), dtype=dtype)
+    return grid, load_p, load_q, sgen_p
+
+
+def load_pickle(path, name=None, dtype=jnp.float32):
+    """Load a MAPDN ``model.p`` (requires pandapower to unpickle)."""
+    try:
+        import pandapower as pp
+    except ImportError as e:
+        raise ImportError(
+            "converting a pandapower pickle requires the optional "
+            "pandapower dependency; the built-in cases "
+            "(mapdn_tpu.grid.make_case) need no extra packages") from e
+    net = pp.from_pickle(path)
+    return from_pandapower(net, name=name or path, dtype=dtype)

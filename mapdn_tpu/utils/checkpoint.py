@@ -16,12 +16,24 @@ import orbax.checkpoint as ocp
 from flax import serialization
 
 
+import jax.numpy as jnp
+
+
+def _drop_empty(tree):
+    """Orbax refuses zero-size arrays (e.g. the history buffer when
+    history == 1); swap in 1-element placeholders, restored from the
+    example on load."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.zeros((1,), x.dtype)
+        if getattr(x, "size", 1) == 0 else x, tree)
+
+
 def save_checkpoint(path: str, carry, steps: int, episodes: int):
     """Full training-state checkpoint (resumable)."""
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     payload = {
-        "carry": jax.tree_util.tree_map(lambda x: x, carry),
+        "carry": _drop_empty(carry),
         "meta": {"steps": steps, "episodes": episodes},
     }
     ckptr.save(path, payload, force=True)
@@ -33,11 +45,14 @@ def restore_checkpoint(path: str, example_carry):
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     example = {
-        "carry": example_carry,
+        "carry": _drop_empty(example_carry),
         "meta": {"steps": 0, "episodes": 0},
     }
     payload = ckptr.restore(path, item=example)
-    return payload["carry"], int(payload["meta"]["steps"]), int(
+    carry = jax.tree_util.tree_map(
+        lambda ex, loaded: ex if getattr(ex, "size", 1) == 0 else loaded,
+        example_carry, payload["carry"])
+    return carry, int(payload["meta"]["steps"]), int(
         payload["meta"]["episodes"])
 
 

@@ -1,0 +1,51 @@
+"""Multi-device sharded training on the fake 8-device CPU mesh
+(SURVEY.md section 4e: the TPU analog of multi-node tests w/o a cluster)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapdn_tpu.algos import make_model
+from mapdn_tpu.envs import EnvConfig, make_env
+from mapdn_tpu.parallel import ShardedPGTrainer, make_env_mesh
+from mapdn_tpu.utils.config import load_config
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_chunk_runs_and_matches_structure():
+    env = make_env("case33", EnvConfig(episode_limit=16), days=8,
+                   dtype=jnp.float32)
+    info = env.get_env_info()
+    cfg, _ = load_config("iddpg")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], max_steps=8, behaviour_update_freq=4,
+        batch_size=4, value_update_epochs=1, policy_update_epochs=1,
+        replay_buffer_size=128, n_envs=16, num_eval_episodes=2, hid_size=32)
+    model = make_model("iddpg", cfg)
+    mesh = make_env_mesh(jax.devices()[:8])
+    trainer = ShardedPGTrainer(cfg, model, env, mesh=mesh).setup(seed=0)
+
+    # env batch is actually sharded over the mesh
+    shard_devs = {d for s in trainer.carry.obs.addressable_shards
+                  for d in [s.device]}
+    assert len(shard_devs) == 8
+
+    carry, stats = trainer._jit_chunk(trainer.carry)
+    assert np.isfinite(float(stats["mean_train_reward"]))
+    assert np.isfinite(float(stats["mean_train_value_loss"]))
+    # learner params remain replicated (single shard spanning the mesh)
+    p0 = jax.tree_util.tree_leaves(carry.algo.policy_params)[0]
+    assert p0.sharding.is_fully_replicated
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_uneven_envs_rejected():
+    env = make_env("case33", EnvConfig(episode_limit=8), days=8)
+    info = env.get_env_info()
+    cfg, _ = load_config("iddpg")
+    cfg = cfg.replace(agent_num=info["n_agents"], obs_size=info["obs_shape"],
+                      action_dim=info["n_actions"], n_envs=12)
+    model = make_model("iddpg", cfg)
+    with pytest.raises(ValueError, match="divisible"):
+        ShardedPGTrainer(cfg, model, env, mesh=make_env_mesh(jax.devices()[:8]))
