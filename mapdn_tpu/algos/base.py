@@ -90,6 +90,10 @@ class MARLModel:
 
     on_policy = False     # COMA/IAC/IPPO/MAPPO clear the buffer post-update
     uses_mixer = False
+    # True for algorithms whose get_loss reads the rollout-time critic values
+    # stored in the Transition (PPO-family GAE); everything else recomputes
+    # values from the batch, so the trainer skips the rollout critic forward
+    stores_rollout_value = False
 
     def __init__(self, cfg):
         self.cfg = cfg

@@ -520,6 +520,48 @@ class VoltageControlEnv:
             obs=pick(obs_fresh, out.obs),
             global_state=pick(gs_fresh, out.global_state))
 
+    def batched_auto_reset_step(self, states, sgen_actions, keys,
+                                add_noise=True):
+        """Batch-level auto-resetting step: vmapped :meth:`step`, with the
+        reset attempt (a second NR solve + obs build per lane) gated behind a
+        batch-wide ``lax.cond`` so it only runs on chunks where some lane
+        actually terminated.  Episodes start synchronized and share
+        episode_limit, so the reset branch fires ~once per episode_limit
+        steps (plus divergence destroys) instead of every step — per-lane
+        :meth:`auto_reset_step` (kept for single-lane use) cannot skip it
+        because ``lax.cond`` under vmap lowers to a select of both branches."""
+        ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+        k_step, k_reset, k_t = ks[:, 0], ks[:, 1], ks[:, 2]
+        out = jax.vmap(lambda s, a, k: self.step(s, a, k, add_noise))(
+            states, sgen_actions, k_step)
+
+        def do_reset(out):
+            def fresh_lane(state, kr, kt):
+                t0 = self._sample_start(kt)
+                fresh, ok = self._attempt_reset(
+                    t0, kr, add_noise=add_noise, vm0=state.vm, va0=state.va)
+                fresh = fresh.replace(terminated=~ok)
+                obs_f, fresh = self._obs_and_push_hist(fresh)
+                return fresh, obs_f, self.get_state(fresh)
+
+            fresh, obs_f, gs_f = jax.vmap(fresh_lane)(states, k_reset, k_t)
+            sel = out.terminated
+
+            def pick(a, b):
+                mask = sel
+                while mask.ndim < a.ndim:
+                    mask = mask[..., None]
+                return jnp.where(mask, a, b)
+
+            new_state = jax.tree_util.tree_map(pick, fresh, out.state)
+            return out.replace(
+                state=new_state,
+                obs=pick(obs_f, out.obs),
+                global_state=pick(gs_f, out.global_state))
+
+        return jax.lax.cond(
+            jnp.any(out.terminated), do_reset, lambda o: o, out)
+
     # -------------------------------------------------------------- env info
     def get_env_info(self):
         """PyMARL-style env info (reference multiagentenv.py:62-67)."""

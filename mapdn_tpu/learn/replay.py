@@ -46,6 +46,31 @@ def add(state: ReplayState, trans: dict) -> ReplayState:
         size=jnp.minimum(state.size + 1, capacity))
 
 
+def add_many(state: ReplayState, stacked) -> ReplayState:
+    """Append T steps at once from a (T, n_env, ...) pytree (FIFO ring).
+
+    One batched scatter instead of T sequential ``add`` calls — the natural
+    write pattern when the trainer collects a whole rollout chunk via
+    ``lax.scan`` before touching the buffer.  When T >= capacity only the
+    most recent ``capacity`` rows survive (identical to T sequential adds).
+    """
+    capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
+    t = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    if t >= capacity:
+        tail = jax.tree_util.tree_map(lambda x: x[t - capacity:], stacked)
+        return ReplayState(
+            data=tail,
+            ptr=jnp.asarray(0, jnp.int32),
+            size=jnp.asarray(capacity, jnp.int32))
+    idx = (state.ptr + jnp.arange(t)) % capacity
+    data = jax.tree_util.tree_map(
+        lambda buf, x: buf.at[idx].set(x), state.data, stacked)
+    return ReplayState(
+        data=data,
+        ptr=(state.ptr + t) % capacity,
+        size=jnp.minimum(state.size + t, capacity))
+
+
 def sample_window(state: ReplayState, key, batch_size: int) -> dict:
     """Contiguous window of `batch_size` steps, shape (batch_size, n_env, ...).
 
@@ -55,9 +80,15 @@ def sample_window(state: ReplayState, key, batch_size: int) -> dict:
     condition, model.py:42-44).
     """
     capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
+    oldest = jnp.where(state.size < capacity, 0, state.ptr)
+    if capacity == batch_size:
+        # the window is deterministically the whole buffer: un-rotate the
+        # ring with a roll (two contiguous slices, full HBM streaming
+        # bandwidth) instead of a row-gather, which lowers to per-row DMA
+        return jax.tree_util.tree_map(
+            lambda buf: jnp.roll(buf, -oldest, axis=0), state.data)
     max_start = jnp.maximum(state.size - batch_size, 0)
     start = jax.random.randint(key, (), 0, max_start + 1)
-    oldest = jnp.where(state.size < capacity, 0, state.ptr)
     idx = (oldest + start + jnp.arange(batch_size)) % capacity
     return jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
 

@@ -101,41 +101,44 @@ class PGTrainer:
         return v
 
     def _rollout_step(self, carry: TrainerCarry, _):
-        cfg = self.cfg
+        """One vectorized rollout step.  Emits the transition (next_value
+        left zero; filled in by the post-scan shift) instead of writing the
+        replay inside the scan, so the chunk does ONE policy forward and at
+        most one critic forward per step — the reference's rollout
+        (model.py:211-222) recomputes the next-state action and value every
+        step only to throw them away when step t+1 computes its own."""
         model = self.model
-        rng, k_act, k_next, k_env = jax.random.split(carry.rng, 4)
+        rng, k_act, k_env = jax.random.split(carry.rng, 3)
 
         _, action_pol, log_prob, _, hid = model.get_actions(
             carry.algo.policy_params, carry.obs, carry.last_hid, k_act,
             status="train", exploration=True, avail=self.avail)
-        value = self._rollout_value(carry.algo, carry.obs, action_pol)
+        if model.stores_rollout_value:
+            value = self._rollout_value(carry.algo, carry.obs, action_pol)
+        else:
+            # losses recompute values from the batch; skip the forward
+            value = jnp.zeros((self.n_envs, model.n), carry.obs.dtype)
 
         env_actions = jax.vmap(self.env.translate_actions)(action_pol)
         env_keys = jax.random.split(k_env, self.n_envs)
-        out = jax.vmap(self.env.auto_reset_step)(
+        out = self.env.batched_auto_reset_step(
             carry.env_state, env_actions, env_keys)
 
         reward_rep = jnp.broadcast_to(
             out.reward[:, None], (self.n_envs, model.n))
-        _, next_action_pol, _, _, _ = model.get_actions(
-            carry.algo.policy_params, out.obs, hid, k_next,
-            status="train", exploration=True, avail=self.avail)
-        next_value = self._rollout_value(carry.algo, out.obs, next_action_pol)
-
         done = out.terminated.astype(carry.obs.dtype)
         trans = Transition(
             state=carry.obs,
             action=jax.lax.stop_gradient(action_pol),
             log_prob_a=jax.lax.stop_gradient(log_prob),
             value=jax.lax.stop_gradient(value),
-            next_value=jax.lax.stop_gradient(next_value),
+            next_value=jnp.zeros_like(value),
             reward=reward_rep,
             next_state=out.obs,
             done=done,
             last_step=done,
             last_hid=carry.last_hid,
             hid=hid)
-        replay = rb.add(carry.replay, trans)
 
         # terminated lanes restart their GRU state (reference model.py:207)
         next_hid = jnp.where(out.terminated[:, None, None], 0.0, hid)
@@ -146,8 +149,8 @@ class PGTrainer:
 
         new_carry = carry.replace(
             env_state=out.state, obs=out.obs, last_hid=next_hid,
-            replay=replay, rng=rng, steps=carry.steps + 1)
-        return new_carry, step_stats
+            rng=rng, steps=carry.steps + 1)
+        return new_carry, (trans, step_stats)
 
     # --------------------------------------------------------------- updates
     def _policy_loss_fn(self, policy_params, algo, batch, key):
@@ -171,14 +174,25 @@ class PGTrainer:
 
     def _update_epochs(self, algo, replay, key, *, which, epochs):
         """Scan `epochs` optimizer steps, each on a fresh sampled window
-        (reference trainer.py:58-71)."""
+        (reference trainer.py:58-71).  When the ring's time-capacity equals
+        batch_size (the usual vectorized regime: replay_buffer_size counts
+        single-env transitions, so capacity = size/n_envs ~ batch_size) the
+        "fresh" window is deterministically the whole buffer — sample it once
+        outside the scan instead of re-gathering ~GBs per epoch."""
         cfg = self.cfg
         model = self.model
+        capacity = jax.tree_util.tree_leaves(replay.data)[0].shape[0]
+        fixed_batch = None
+        if capacity == cfg.batch_size:
+            fixed_batch = rb.sample_window(replay, key, cfg.batch_size)
 
         def epoch(carry, k):
             algo = carry
             k_samp, k_loss = jax.random.split(k)
-            batch = rb.sample_window(replay, k_samp, cfg.batch_size)
+            if fixed_batch is None:
+                batch = rb.sample_window(replay, k_samp, cfg.batch_size)
+            else:
+                batch = fixed_batch
             if which == "value":
                 grads, vl = jax.grad(self._value_loss_fn, has_aux=True)(
                     algo.value_params, algo, batch, k_loss)
@@ -246,9 +260,19 @@ class PGTrainer:
     # ----------------------------------------------------------- train chunk
     def _train_chunk(self, carry: TrainerCarry):
         cfg = self.cfg
-        carry, roll_stats = jax.lax.scan(
+        carry, (trans, roll_stats) = jax.lax.scan(
             self._rollout_step, carry, None, length=self._chunk_len)
         roll_stats = jax.tree_util.tree_map(jnp.mean, roll_stats)
+
+        if self.model.stores_rollout_value:
+            # next_value[t] = value[t+1]; one extra critic forward closes the
+            # chunk.  On done steps GAE masks next_value out, and the bootstrap
+            # at an auto-reset boundary values the fresh obs — both correct.
+            v_last = self._rollout_value(carry.algo, carry.obs, None)
+            next_values = jnp.concatenate(
+                [trans.value[1:], jax.lax.stop_gradient(v_last)[None]], axis=0)
+            trans = trans.replace(next_value=next_values)
+        carry = carry.replace(replay=rb.add_many(carry.replay, trans))
 
         rng, k_upd = jax.random.split(carry.rng)
         carry = carry.replace(rng=rng)

@@ -8,7 +8,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mapdn_tpu.nets.agents import _Base, _activation
+from mapdn_tpu.nets.agents import _Base, _activation, _kernel_init
 
 
 class MLPCritic(_Base):
@@ -22,6 +22,46 @@ class MLPCritic(_Base):
     def __call__(self, x):
         act = _activation(self.hid_activation)
         h = act(self._dense(self.hid_size)(self._stem(x)))
+        return self._dense(self.output_dim)(h)
+
+
+class CentralVCritic(_Base):
+    """Centralized V(all-obs) head with the per-agent identity folded into
+    the first layer.
+
+    Feeding ``[joint_obs, onehot_i]`` per agent to :class:`MLPCritic` (the
+    reference's central-critic construction, models/mappo.py:21-30 +
+    model.py:101-139 agent-id concat) makes the wide first-layer matmul run
+    n_agents times on n_agents-replicated input.  The first layer is linear,
+    so the one-hot contributes exactly ``W_id[:, i]`` — a learned per-agent
+    bias.  This module computes the wide matmul ONCE per sample and
+    broadcast-adds the (n_agents, hid) identity embedding, then runs the
+    narrow remaining layers per agent: same function class, ~n_agents x less
+    first-layer compute and no (b, n, n*obs) materialization in HBM.
+    """
+    n_agents: int = 1
+    use_agent_id: bool = True
+    output_dim: int = 1
+
+    @nn.compact
+    def __call__(self, joint):
+        # joint: (b, in_dim) -> (b, n_agents, output_dim)
+        act = _activation(self.hid_activation)
+        h = self._dense(self.hid_size)(joint)[:, None, :]
+        if self.use_agent_id:
+            id_embed = self.param(
+                "agent_id_embed",
+                _kernel_init(self.init_type, self.init_std,
+                             self.hid_activation),
+                (self.n_agents, self.hid_size))
+            h = h + id_embed[None]
+        else:
+            h = jnp.broadcast_to(
+                h, (joint.shape[0], self.n_agents, self.hid_size))
+        if self.layernorm:
+            h = nn.LayerNorm()(h)
+        h = act(h)
+        h = act(self._dense(self.hid_size)(h))
         return self._dense(self.output_dim)(h)
 
 
