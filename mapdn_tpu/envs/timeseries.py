@@ -110,12 +110,12 @@ def load_csv_dataset(data_path, *, pv_scale=1.0, demand_scale=1.0,
                      time_delta=3, dtype=jnp.float32):
     """Ingest a real MAPDN scenario directory (pv_active.csv, load_active.csv,
     load_reactive.csv with a leading timestamp column, scaled like reference
-    voltage_control_env.py:407-438)."""
-    import pandas as pd
+    voltage_control_env.py:407-438).  Parsing goes through the native C++
+    scanner (mapdn_tpu.native.load_csv) when built, pandas otherwise."""
+    from mapdn_tpu.native import load_csv
 
     def read(name, scale):
-        df = pd.read_csv(os.path.join(data_path, name), index_col=None)
-        return df.iloc[:, 1:].to_numpy(dtype=np.float64) * scale
+        return load_csv(os.path.join(data_path, name), scale=scale)
 
     pv = read("pv_active.csv", pv_scale)
     load_p = read("load_active.csv", demand_scale)
