@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark: aggregate env-steps/s for fused MARL training on one chip.
 
-Config mirrors BASELINE.json's flagship single-chip target: 4096 vectorized
+Config mirrors BASELINE.json's flagship single-chip target: 8192 vectorized
 case33 environments (each env step = one batched Newton-Raphson AC power
 flow) feeding an on-device MAPPO learner, rollout + update fused under jit.
 
@@ -57,16 +57,20 @@ def main():
     from mapdn_tpu.learn.trainer import PGTrainer
     from mapdn_tpu.utils.config import load_config
 
-    n_envs = 4096
+    n_envs = 8192
     env = make_env("case33", EnvConfig(episode_limit=240), days=40,
                    dtype=jnp.float32)
     info = env.get_env_info()
     cfg, _ = load_config("mappo")
+    # update_lanes bounds update-side compute as n_envs scales: each of the
+    # 20 update epochs per 60-step chunk grads over 32 steps x 1024 random
+    # lanes = 32k transitions (the reference's minibatch is 32).
     cfg = cfg.replace(
         agent_num=info["n_agents"], obs_size=info["obs_shape"],
         action_dim=info["n_actions"], n_envs=n_envs,
         behaviour_update_freq=60, batch_size=32,
-        value_update_epochs=10, policy_update_epochs=10)
+        value_update_epochs=10, policy_update_epochs=10,
+        update_lanes=1024)
     model = make_model("mappo", cfg)
     trainer = PGTrainer(cfg, model, env).setup(seed=0)
 
@@ -87,7 +91,7 @@ def main():
     base_sps = measure_baseline_oracle(grid, load_p, load_q)
 
     print(json.dumps({
-        "metric": "train env-steps/s/chip (4096 case33 envs, batched NR "
+        "metric": "train env-steps/s/chip (8192 case33 envs, batched NR "
                   "power flow, fused MAPPO learner)",
         "value": round(env_sps, 1),
         "unit": "env-steps/s",

@@ -71,26 +71,41 @@ def add_many(state: ReplayState, stacked) -> ReplayState:
         size=jnp.minimum(state.size + t, capacity))
 
 
-def sample_window(state: ReplayState, key, batch_size: int) -> dict:
+def sample_window(state: ReplayState, key, batch_size: int,
+                  lanes: int | None = None) -> dict:
     """Contiguous window of `batch_size` steps, shape (batch_size, n_env, ...).
 
     Start index uniform over [0, size - batch_size] in logical (oldest-first)
     order, mapped through the ring (reference replay_buffer.py:19-23).
     Caller guarantees size >= batch_size (reference gates on the same
     condition, model.py:42-44).
+
+    ``lanes``: if set and smaller than the stored env-lane axis, a random
+    subset of that many lanes is gathered — the vectorized generalization of
+    the reference's fixed transition count per minibatch (its batch_size
+    counts single-env transitions), keeping update compute bounded as
+    n_envs grows.
     """
     capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
     oldest = jnp.where(state.size < capacity, 0, state.ptr)
+    k_start, k_lane = jax.random.split(key)
     if capacity == batch_size:
         # the window is deterministically the whole buffer: un-rotate the
         # ring with a roll (two contiguous slices, full HBM streaming
         # bandwidth) instead of a row-gather, which lowers to per-row DMA
-        return jax.tree_util.tree_map(
+        batch = jax.tree_util.tree_map(
             lambda buf: jnp.roll(buf, -oldest, axis=0), state.data)
-    max_start = jnp.maximum(state.size - batch_size, 0)
-    start = jax.random.randint(key, (), 0, max_start + 1)
-    idx = (oldest + start + jnp.arange(batch_size)) % capacity
-    return jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
+    else:
+        max_start = jnp.maximum(state.size - batch_size, 0)
+        start = jax.random.randint(k_start, (), 0, max_start + 1)
+        idx = (oldest + start + jnp.arange(batch_size)) % capacity
+        batch = jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
+
+    n_env = jax.tree_util.tree_leaves(batch)[0].shape[1]
+    if lanes is not None and lanes < n_env:
+        lane_idx = jax.random.choice(k_lane, n_env, (lanes,), replace=False)
+        batch = jax.tree_util.tree_map(lambda buf: buf[:, lane_idx], batch)
+    return batch
 
 
 def clear(state: ReplayState) -> ReplayState:

@@ -182,15 +182,21 @@ class PGTrainer:
         cfg = self.cfg
         model = self.model
         capacity = jax.tree_util.tree_leaves(replay.data)[0].shape[0]
+        lanes = cfg.update_lanes
+        subsampling = lanes is not None and lanes < self.n_envs
+        # without lane subsampling, a capacity==batch_size window is the
+        # same whole-buffer batch every epoch: hoist the gather out of the
+        # scan; with subsampling each epoch draws fresh lanes
         fixed_batch = None
-        if capacity == cfg.batch_size:
+        if capacity == cfg.batch_size and not subsampling:
             fixed_batch = rb.sample_window(replay, key, cfg.batch_size)
 
         def epoch(carry, k):
             algo = carry
             k_samp, k_loss = jax.random.split(k)
             if fixed_batch is None:
-                batch = rb.sample_window(replay, k_samp, cfg.batch_size)
+                batch = rb.sample_window(replay, k_samp, cfg.batch_size,
+                                         lanes=lanes)
             else:
                 batch = fixed_batch
             if which == "value":

@@ -103,6 +103,11 @@ class AlgoConfig:
     # CPU env; these control the vectorized rollout)
     n_envs: int = 1
     seed: int = 0
+    # lanes (envs) per update minibatch: each update epoch samples a random
+    # subset of this many env lanes from the replay window, so update-side
+    # compute stays bounded as n_envs scales (the reference's batch_size
+    # counts transitions of its single env).  None = all lanes.
+    update_lanes: Optional[int] = None
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
