@@ -114,3 +114,49 @@ def clear(state: ReplayState) -> ReplayState:
         data=state.data,
         ptr=jnp.asarray(0, jnp.int32),
         size=jnp.asarray(0, jnp.int32))
+
+
+# --------------------------------------------------------------- episodic
+# Whole-episode storage/sampling: the vectorized analog of the reference's
+# EpisodeReplayBuffer (replay_buffer.py:33-58), used when cfg.episodic is
+# set (an exposed-but-unused mode in the reference's benchmark configs).
+# One rollout of n_env lanes contributes n_env episodes to the pool.
+
+def init_episode_replay(capacity: int, example: dict, t: int) -> ReplayState:
+    """Allocate (capacity, T, n_env, ...) episode slots from one example
+    transition pytree of (n_env, ...) arrays."""
+    data = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((capacity, t) + x.shape, x.dtype), example)
+    return ReplayState(
+        data=data, ptr=jnp.asarray(0, jnp.int32), size=jnp.asarray(0, jnp.int32))
+
+
+def add_episode(state: ReplayState, traj) -> ReplayState:
+    """Append one vectorized episode: traj is a (T, n_env, ...) pytree."""
+    capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
+    data = jax.tree_util.tree_map(
+        lambda buf, x: buf.at[state.ptr].set(x), state.data, traj)
+    return ReplayState(
+        data=data,
+        ptr=(state.ptr + 1) % capacity,
+        size=jnp.minimum(state.size + 1, capacity))
+
+
+def sample_episodes(state: ReplayState, key, batch_size: int) -> dict:
+    """Sample `batch_size` whole episodes -> (T, batch_size, ...) pytree.
+
+    The episode pool is size x n_env single-lane trajectories; each draw
+    picks a (slot, lane) pair uniformly (reference replay_buffer.py:46-52
+    samples episode indices the same way over its flat list).
+    """
+    n_env = jax.tree_util.tree_leaves(state.data)[0].shape[2]
+    k_slot, k_lane = jax.random.split(key)
+    slots = jax.random.randint(
+        k_slot, (batch_size,), 0, jnp.maximum(state.size, 1))
+    lanes = jax.random.randint(k_lane, (batch_size,), 0, n_env)
+
+    def pick(buf):
+        sel = buf[slots, :, lanes]      # (batch, T, ...)
+        return jnp.moveaxis(sel, 0, 1)  # (T, batch, ...)
+
+    return jax.tree_util.tree_map(pick, state.data)

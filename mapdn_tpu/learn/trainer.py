@@ -54,12 +54,19 @@ class PGTrainer:
         self.steps = 0
         self.episodes = 0
 
-        self._chunk_len = min(cfg.behaviour_update_freq, cfg.max_steps)
-        self._chunks_per_episode = max(cfg.max_steps // self._chunk_len, 1)
+        if cfg.episodic:
+            # episodic mode (reference model.py:72-96): collect whole
+            # episodes; cadences count episodes, not steps
+            self._chunk_len = cfg.max_steps
+            self._chunks_per_episode = 1
+        else:
+            self._chunk_len = min(cfg.behaviour_update_freq, cfg.max_steps)
+            self._chunks_per_episode = max(cfg.max_steps // self._chunk_len, 1)
 
         self._jit_chunk = jax.jit(self._train_chunk, donate_argnums=(0,))
         self._jit_eval = jax.jit(self._eval_rollout)
         self._jit_soft_update = jax.jit(self._soft_update)
+        self._jit_episodic_update = jax.jit(self._episodic_update)
 
     # ------------------------------------------------------------------ init
     def init_carry(self, key) -> TrainerCarry:
@@ -71,12 +78,19 @@ class PGTrainer:
         last_hid = self.model.init_hidden(self.n_envs, obs.dtype)
 
         example = self._example_transition(obs)
-        # the reference's replay_buffer_size counts TOTAL transitions of one
-        # env (replay_buffer.py:6); with n_envs lanes the time-capacity is
-        # size/n_envs, floored at batch_size so window sampling stays valid
-        capacity = max(cfg.batch_size,
-                       -(-int(cfg.replay_buffer_size) // self.n_envs))
-        replay = rb.init_replay(capacity, example)
+        if cfg.episodic:
+            # replay_buffer_size counts episodes (reference default.yaml:21);
+            # every rollout contributes n_envs of them, one per lane
+            capacity = max(1, -(-int(cfg.replay_buffer_size) // self.n_envs))
+            replay = rb.init_episode_replay(capacity, example, cfg.max_steps)
+        else:
+            # the reference's replay_buffer_size counts TOTAL transitions of
+            # one env (replay_buffer.py:6); with n_envs lanes the
+            # time-capacity is size/n_envs, floored at batch_size so window
+            # sampling stays valid
+            capacity = max(cfg.batch_size,
+                           -(-int(cfg.replay_buffer_size) // self.n_envs))
+            replay = rb.init_replay(capacity, example)
         return TrainerCarry(
             env_state=env_state, obs=obs, last_hid=last_hid, algo=algo,
             replay=replay, rng=k_rng, steps=jnp.asarray(0, jnp.int32))
@@ -188,13 +202,17 @@ class PGTrainer:
         # same whole-buffer batch every epoch: hoist the gather out of the
         # scan; with subsampling each epoch draws fresh lanes
         fixed_batch = None
-        if capacity == cfg.batch_size and not subsampling:
+        if (capacity == cfg.batch_size and not subsampling
+                and not cfg.episodic):
             fixed_batch = rb.sample_window(replay, key, cfg.batch_size)
 
         def epoch(carry, k):
             algo = carry
             k_samp, k_loss = jax.random.split(k)
-            if fixed_batch is None:
+            if cfg.episodic:
+                # batch_size counts whole episodes (reference default.yaml:21)
+                batch = rb.sample_episodes(replay, k_samp, cfg.batch_size)
+            elif fixed_batch is None:
                 batch = rb.sample_window(replay, k_samp, cfg.batch_size,
                                          lanes=lanes)
             else:
@@ -253,6 +271,15 @@ class PGTrainer:
             stats.update(m_stats)
         return algo, stats
 
+    def _episodic_update(self, carry: TrainerCarry, key):
+        """Update phase on whole-episode batches (reference episode_update,
+        model.py:72-96), invoked every behaviour_update_freq EPISODES."""
+        algo, stats = self._update_phase(carry.algo, carry.replay, key)
+        replay = carry.replay
+        if self.model.on_policy:
+            replay = rb.clear(replay)
+        return carry.replace(algo=algo, replay=replay), stats
+
     def _soft_update(self, algo: AlgoState) -> AlgoState:
         tau = self.cfg.target_lr
         return algo.replace(
@@ -278,6 +305,12 @@ class PGTrainer:
             next_values = jnp.concatenate(
                 [trans.value[1:], jax.lax.stop_gradient(v_last)[None]], axis=0)
             trans = trans.replace(next_value=next_values)
+
+        if cfg.episodic:
+            # store the whole episode; updates run on the episode cadence
+            # from run_episode (reference model.py:72-96)
+            carry = carry.replace(replay=rb.add_episode(carry.replay, trans))
+            return carry, roll_stats
         carry = carry.replace(replay=rb.add_many(carry.replay, trans))
 
         rng, k_upd = jax.random.split(carry.rng)
@@ -353,20 +386,38 @@ class PGTrainer:
     # -------------------------------------------------------------- user API
     def run_episode(self) -> Dict[str, float]:
         """One training 'episode' = max_steps vectorized env steps with the
-        reference's update cadence; returns the stat dict."""
+        reference's update cadence; returns the stat dict.
+
+        Transition mode: updates fire inside the jitted chunk every
+        behaviour_update_freq STEPS and target updates every
+        target_update_freq steps.  Episodic mode: both cadences count
+        EPISODES (reference model.py:39-96)."""
+        cfg = self.cfg
         stats_acc = []
         for _ in range(self._chunks_per_episode):
             self.carry, stats = self._jit_chunk(self.carry)
             self.steps += self._chunk_len
-            if self.cfg.target and (
-                    self.steps % self.cfg.target_update_freq == 0):
+            if not cfg.episodic and cfg.target and (
+                    self.steps % cfg.target_update_freq == 0):
                 self.carry = self.carry.replace(
                     algo=self._jit_soft_update(self.carry.algo))
             stats_acc.append(stats)
         self.episodes += 1
+        if cfg.episodic:
+            if self.episodes % cfg.behaviour_update_freq == 0:
+                rng, k_upd = jax.random.split(self.carry.rng)
+                self.carry = self.carry.replace(rng=rng)
+                self.carry, upd_stats = self._jit_episodic_update(
+                    self.carry, k_upd)
+                stats_acc.append(upd_stats)
+            if cfg.target and self.episodes % cfg.target_update_freq == 0:
+                self.carry = self.carry.replace(
+                    algo=self._jit_soft_update(self.carry.algo))
         out = {}
-        for k in stats_acc[0]:
-            out[k] = float(np.mean([float(s[k]) for s in stats_acc]))
+        all_keys = {k for s in stats_acc for k in s}
+        for k in all_keys:
+            out[k] = float(np.mean(
+                [float(s[k]) for s in stats_acc if k in s]))
         return out
 
     def evaluate(self) -> Dict[str, float]:

@@ -123,3 +123,30 @@ def test_trainer_smoke_mappo_onpolicy():
     assert np.isfinite(stats["mean_train_policy_loss"])
     # on-policy: buffer cleared after the update
     assert int(trainer.carry.replay.size) == 0
+
+
+def test_episodic_mode_trains():
+    """cfg.episodic: whole-episode replay + episode-cadence updates
+    (reference model.py:72-96 / replay_buffer.py:33-58)."""
+    from mapdn_tpu.envs import EnvConfig, make_env
+    from mapdn_tpu.algos import make_model
+    from mapdn_tpu.learn.trainer import PGTrainer
+    from mapdn_tpu.utils.config import load_config
+
+    env = make_env("case33", EnvConfig(episode_limit=6), days=2)
+    info = env.get_env_info()
+    cfg, _ = load_config("iddpg")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], n_envs=3, max_steps=6,
+        episodic=True, behaviour_update_freq=2, target_update_freq=4,
+        batch_size=2, replay_buffer_size=12,
+        value_update_epochs=2, policy_update_epochs=1, num_eval_episodes=2)
+    model = make_model("iddpg", cfg)
+    trainer = PGTrainer(cfg, model, env).setup(seed=0)
+    s1 = trainer.run_episode()          # no update yet (1 % 2 != 0)
+    assert "mean_train_value_loss" not in s1
+    s2 = trainer.run_episode()          # update fires at episode 2
+    assert "mean_train_value_loss" in s2
+    assert np.isfinite(s2["mean_train_value_loss"])
+    assert np.isfinite(s2["mean_train_reward"])
