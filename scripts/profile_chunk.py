@@ -1,0 +1,103 @@
+"""Profile the fused train chunk: rollout vs update vs bare NR solve.
+
+Usage: python scripts/profile_chunk.py [n_envs]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mapdn_tpu.algos import make_model
+from mapdn_tpu.envs import EnvConfig, make_env
+from mapdn_tpu.learn.trainer import PGTrainer
+from mapdn_tpu.utils.config import load_config
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def main():
+    n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    env = make_env("case33", EnvConfig(episode_limit=240), days=40,
+                   dtype=jnp.float32)
+    info = env.get_env_info()
+    cfg, _ = load_config("mappo")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], n_envs=n_envs,
+        behaviour_update_freq=60, batch_size=32,
+        value_update_epochs=10, policy_update_epochs=10, update_lanes=1024)
+    model = make_model("mappo", cfg)
+    trainer = PGTrainer(cfg, model, env).setup(seed=0)
+
+    # full chunk (donates carry: thread it through)
+    carry, _ = trainer._jit_chunk(trainer.carry)
+    jax.block_until_ready(carry.obs)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        carry, _ = trainer._jit_chunk(carry)
+    jax.block_until_ready(carry.obs)
+    dt_full = (time.perf_counter() - t0) / 3
+    print(f"full chunk      : {dt_full*1e3:8.1f} ms  "
+          f"({60*n_envs/dt_full/1e6:.2f}M steps/s)")
+
+    # rollout only
+    @jax.jit
+    def rollout_only(carry):
+        c, _ = jax.lax.scan(trainer._rollout_step, carry, None, length=60)
+        return c
+    dt_roll, _ = timeit(rollout_only, carry)
+    print(f"rollout only    : {dt_roll*1e3:8.1f} ms")
+
+    # env step only (no policy): fixed actions
+    acts = jnp.zeros((n_envs, env.grid.n_sgen), jnp.float32)
+
+    @jax.jit
+    def env_only(env_state, key):
+        def body(c, _):
+            st, k = c
+            k, k2 = jax.random.split(k)
+            ks = jax.random.split(k2, n_envs)
+            out = env.batched_auto_reset_step(st, acts, ks)
+            return (out.state, k), None
+        (st, _), _ = jax.lax.scan(body, (env_state, key), None, length=60)
+        return st
+    dt_env, _ = timeit(env_only, carry.env_state, jax.random.PRNGKey(0))
+    print(f"env steps only  : {dt_env*1e3:8.1f} ms")
+
+    # bare NR solve, 60 sequential batched solves
+    from mapdn_tpu.pf.newton import nr_solve
+    g = env.grid
+    p = jnp.tile(carry.env_state.p_bus[:, :] / -g.sn_mva, (1, 1))
+
+    @jax.jit
+    def nr_only(p):
+        def body(p, _):
+            res = nr_solve(g, p, p * 0.3)
+            return p * 0.999 + 1e-6 * res.vm.mean(), res.n_iter
+        p, iters = jax.lax.scan(body, p, None, length=60)
+        return p, iters
+    dt_nr, (_, iters) = timeit(nr_only, p)
+    print(f"bare NR x60     : {dt_nr*1e3:8.1f} ms   (mean iters "
+          f"{jnp.mean(iters.astype(jnp.float32)):.1f})")
+
+    # update phase only
+    @jax.jit
+    def update_only(carry):
+        algo, stats = trainer._update_phase(
+            carry.algo, carry.replay, jax.random.PRNGKey(1))
+        return stats
+    dt_upd, _ = timeit(update_only, carry)
+    print(f"update only     : {dt_upd*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
