@@ -114,6 +114,18 @@ class PGTrainer:
             v = jnp.mean(v, axis=1)  # e.g. SQDDPG (b, s, n)
         return v
 
+    def _rollout_values_all(self, algo, states):
+        """Rollout values for a whole (T, L, n, o) chunk in ONE critic
+        forward.  Values don't feed actions, so nothing forces them into the
+        sequential scan: evaluating them post-scan turns T small forwards
+        into one (T*L)-batch forward (far better MXU utilization, T x fewer
+        dispatches).  Params are constant across the chunk (updates happen
+        after the rollout), so the result is bitwise the per-step one."""
+        t, l = states.shape[0], states.shape[1]
+        flat = states.reshape((t * l,) + states.shape[2:])
+        v = self._rollout_value(algo, flat, None)
+        return v.reshape(t, l, -1)
+
     def _rollout_step(self, carry: TrainerCarry, _):
         """One vectorized rollout step.  Emits the transition (next_value
         left zero; filled in by the post-scan shift) instead of writing the
@@ -127,11 +139,10 @@ class PGTrainer:
         _, action_pol, log_prob, _, hid = model.get_actions(
             carry.algo.policy_params, carry.obs, carry.last_hid, k_act,
             status="train", exploration=True, avail=self.avail)
-        if model.stores_rollout_value:
-            value = self._rollout_value(carry.algo, carry.obs, action_pol)
-        else:
-            # losses recompute values from the batch; skip the forward
-            value = jnp.zeros((self.n_envs, model.n), carry.obs.dtype)
+        # rollout values (PPO's old_values) are filled in post-scan by one
+        # whole-chunk critic forward (_rollout_values_all); other losses
+        # recompute values from the batch, so the scan stores zeros either way
+        value = jnp.zeros((self.n_envs, model.n), carry.obs.dtype)
 
         env_actions = jax.vmap(self.env.translate_actions)(action_pol)
         env_keys = jax.random.split(k_env, self.n_envs)
@@ -298,13 +309,18 @@ class PGTrainer:
         roll_stats = jax.tree_util.tree_map(jnp.mean, roll_stats)
 
         if self.model.stores_rollout_value:
-            # next_value[t] = value[t+1]; one extra critic forward closes the
-            # chunk.  On done steps GAE masks next_value out, and the bootstrap
-            # at an auto-reset boundary values the fresh obs — both correct.
+            # one whole-chunk critic forward fills value[t] = V(state[t]);
+            # next_value[t] = value[t+1], with one extra forward on the final
+            # obs closing the chunk.  On done steps GAE masks next_value out,
+            # and the bootstrap at an auto-reset boundary values the fresh
+            # obs — both correct.
+            values = self._rollout_values_all(carry.algo, trans.state)
             v_last = self._rollout_value(carry.algo, carry.obs, None)
             next_values = jnp.concatenate(
-                [trans.value[1:], jax.lax.stop_gradient(v_last)[None]], axis=0)
-            trans = trans.replace(next_value=next_values)
+                [values[1:], v_last[None]], axis=0)
+            trans = trans.replace(
+                value=jax.lax.stop_gradient(values),
+                next_value=jax.lax.stop_gradient(next_values))
 
         if cfg.episodic:
             # store the whole episode; updates run on the episode cadence
