@@ -94,6 +94,10 @@ class MARLModel:
     # stored in the Transition (PPO-family GAE); everything else recomputes
     # values from the batch, so the trainer skips the rollout critic forward
     stores_rollout_value = False
+    # a stores_rollout_value algorithm whose value() needs actions would be
+    # incompatible with the trainer's whole-chunk act=None critic forward;
+    # it must set this so the trainer fails loudly instead of mis-evaluating
+    rollout_value_needs_act = False
 
     def __init__(self, cfg):
         self.cfg = cfg

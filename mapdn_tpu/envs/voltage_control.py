@@ -44,7 +44,6 @@ from flax import struct
 
 from mapdn_tpu.envs.barriers import get_barrier
 from mapdn_tpu.envs.timeseries import TimeSeries
-from mapdn_tpu.pf.newton import nr_solve
 
 
 @struct.dataclass
@@ -72,6 +71,12 @@ class EnvConfig:
     pf_tol: float = struct.field(pytree_node=False, default=1e-7)
     pf_max_iter: int = struct.field(pytree_node=False, default=20)
     reset_retries: int = struct.field(pytree_node=False, default=4)
+    # power-flow solver dispatch: 'auto' routes batched solves (>=
+    # pf_min_batch vmapped lanes on TPU) to the fused Pallas VMEM kernel
+    # (mapdn_tpu.pf.pallas_nr) and everything else to the XLA matrix-free
+    # solver; 'xla' / 'pallas' force one path
+    pf_backend: str = struct.field(pytree_node=False, default="auto")
+    pf_min_batch: int = struct.field(pytree_node=False, default=64)
 
 
 @struct.dataclass
@@ -128,6 +133,13 @@ class VoltageControlEnv:
         self.cfg = cfg
         self.barrier = get_barrier(cfg.voltage_barrier_type)
         self.dtype = np.dtype(np.asarray(grid.g_mat).dtype)
+
+        # production solver: per-lane callable whose custom-vmap rule routes
+        # whole batches to the fused Pallas TPU kernel (pf_backend gates it)
+        from mapdn_tpu.pf.pallas_nr import make_auto_solver
+        self._solver = make_auto_solver(
+            grid, tol=cfg.pf_tol, max_iter=cfg.pf_max_iter,
+            backend=cfg.pf_backend, min_batch=cfg.pf_min_batch)
 
         bus_zone = np.asarray(grid.bus_zone)
         sgen_zone = np.asarray(grid.sgen_zone)
@@ -232,8 +244,12 @@ class VoltageControlEnv:
 
     def _solve(self, load_p, load_q, pv_p, sgen_q, vm0=None, va0=None):
         p, q = self._injections(load_p, load_q, pv_p, sgen_q)
-        return nr_solve(self.grid, p, q, tol=self.cfg.pf_tol,
-                        max_iter=self.cfg.pf_max_iter, vm0=vm0, va0=va0)
+        if vm0 is None:  # flat start (pandapower init='auto' for PQ nets)
+            vm0 = jnp.ones_like(p).at[..., 0].set(
+                self.grid.slack_vm.astype(p.dtype))
+        if va0 is None:
+            va0 = jnp.zeros_like(p)
+        return self._solver(p, q, vm0, va0)
 
     def clip_reactive_power(self, actions, pv_p):
         """q = a * sqrt(s_max^2 - p^2) (reference voltage_control_env.py:568-572),
@@ -304,6 +320,10 @@ class VoltageControlEnv:
 
         init = attempt((None, None, key, jnp.asarray(0, jnp.int32)))
         state, ok, _, _ = jax.lax.while_loop(cond, attempt, init)
+        # retry exhaustion: mark the lane terminated so nothing trains on the
+        # flat-profile fallback — step() propagates the flag and the
+        # auto-reset path re-resets the lane on its next step
+        state = state.replace(terminated=~ok)
         obs, state = self._obs_and_push_hist(state)
         return state, obs, self.get_state(state)
 
@@ -364,7 +384,11 @@ class VoltageControlEnv:
         pv, lp, lq = self._noisy_data_at(t_next, key, add_noise)
 
         step = state.step + 1
-        terminated = jnp.logical_or(step >= cfg.episode_limit, ~ok)
+        # an incoming terminated flag (failed reset attempt / already-dead
+        # lane) propagates so the auto-reset path re-resets it next step
+        terminated = jnp.logical_or(
+            state.terminated,
+            jnp.logical_or(step >= cfg.episode_limit, ~ok))
 
         new_state = state.replace(
             t=t_next, step=step, load_p=lp, load_q=lq, pv_p=pv,

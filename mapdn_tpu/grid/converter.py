@@ -58,10 +58,13 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
         max_i.append(float(ln.max_i_ka) * par)
         tap.append(1.0)
 
-    if getattr(net, "trafo", None) is not None:
+    if getattr(net, "trafo", None) is not None and len(net.trafo):
         for _, tr in net.trafo.iterrows():
-            # standard short-circuit-data transformer model mapped to a
-            # series branch on the LV base with an HV-side tap ratio
+            # standard short-circuit-data transformer model: series branch
+            # whose impedance is referred to the LV side (pandapower's
+            # convention), with an HV-side off-nominal tap ratio; the
+            # magnetizing branch (i0/pfe) is ignored (negligible for the
+            # MV feeders this benchmark uses)
             hv, lv = pos[int(tr.hv_bus)], pos[int(tr.lv_bus)]
             vn_lv = float(tr.vn_lv_kv)
             z_base = vn_lv**2 / float(tr.sn_mva)
@@ -73,10 +76,16 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
             tn = float(getattr(tr, "tap_neutral", 0) or 0)
             st = float(getattr(tr, "tap_step_percent", 0) or 0)
             ratio *= 1.0 + (tp - tn) * st / 100.0
+            # rk/xk are ohms referred to the LV side, i.e. per-unit on the
+            # LV-bus voltage base; make_grid per-units every branch on its
+            # FROM(=HV)-bus base, so transfer the base explicitly:
+            # z_pu = z_ohm_lv / (vn_lv_bus^2/sn) = z_ohm_lv*(vn_hv/vn_lv)^2
+            #        / (vn_hv_bus^2/sn)
+            base_xfer = (vn_kv[hv] / vn_kv[lv]) ** 2
             f_bus.append(hv)
             t_bus.append(lv)
-            r_ohm.append(rk)
-            x_ohm.append(xk)
+            r_ohm.append(rk * base_xfer)
+            x_ohm.append(xk * base_xfer)
             c_nf.append(0.0)
             max_i.append(float(tr.sn_mva) / (np.sqrt(3) * vn_lv))
             tap.append(ratio)

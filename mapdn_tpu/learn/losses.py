@@ -21,6 +21,26 @@ from mapdn_tpu.algos.base import flatten_batch
 from mapdn_tpu.learn.sampling import batchnorm, normal_log_density
 
 
+def gae_advantages(rewards, next_values, values, mask, gamma, lambda_):
+    """Generalized advantage estimation over the window's time axis.
+
+    Reverse recursion adv[t] = delta[t] + gamma*lambda*mask[t]*adv[t+1] with
+    delta[t] = r[t] + gamma*mask[t]*V[t+1] - V[t], as a reverse ``lax.scan``
+    (reference learning_algorithms/ppo.py:46-54 runs the same recursion as a
+    backward Python loop).  All inputs are (T, ...) with mask broadcastable.
+    """
+    def gae_step(last_adv, xs):
+        r, onv, ov, m = xs
+        delta = r + gamma * onv * m - ov
+        adv = delta + gamma * lambda_ * last_adv * m
+        return adv, adv
+
+    _, advantages = jax.lax.scan(
+        gae_step, jnp.zeros_like(rewards[0]),
+        (rewards, next_values, values, mask), reverse=True)
+    return advantages
+
+
 def ddpg_loss(model, state, batch, avail, key):
     """TD(0) critic + deterministic policy gradient
     (reference learning_algorithms/ddpg.py:15-39)."""
@@ -115,15 +135,8 @@ def ppo_loss(model, state, batch, avail, key):
     last_step = batch.last_step[..., None]
     mask = jnp.where(last_step > 0, 1.0 - done, 1.0)
 
-    def gae_step(last_adv, xs):
-        r, onv, ov, m = xs
-        delta = r + cfg.gamma * onv * m - ov
-        adv = delta + cfg.gamma * cfg.lambda_ * last_adv * m
-        return adv, adv
-
-    _, advantages = jax.lax.scan(
-        gae_step, jnp.zeros_like(rewards[0]),
-        (rewards, old_next_values, old_values, mask), reverse=True)
+    advantages = gae_advantages(
+        rewards, old_next_values, old_values, mask, cfg.gamma, cfg.lambda_)
 
     b = model.unpack(batch)
     advantages = flatten_batch(advantages)

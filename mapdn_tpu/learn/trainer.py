@@ -79,8 +79,14 @@ class PGTrainer:
 
         example = self._example_transition(obs)
         if cfg.episodic:
-            # replay_buffer_size counts episodes (reference default.yaml:21);
-            # every rollout contributes n_envs of them, one per lane
+            # replay_buffer_size counts EPISODES (reference default.yaml:21)
+            # and every rollout contributes n_envs of them (one per lane), so
+            # the pool holds ceil(size/n_envs) slots of n_envs episodes each.
+            # At n_envs >= replay_buffer_size that is 1 slot = n_envs
+            # episodes — a pool at least as large as the reference asked for
+            # (sample_episodes draws uniform (slot, lane) pairs), never less;
+            # the drift vs the single-env reference is only that eviction
+            # granularity becomes whole rollouts.
             capacity = max(1, -(-int(cfg.replay_buffer_size) // self.n_envs))
             replay = rb.init_episode_replay(capacity, example, cfg.max_steps)
         else:
@@ -120,7 +126,17 @@ class PGTrainer:
         sequential scan: evaluating them post-scan turns T small forwards
         into one (T*L)-batch forward (far better MXU utilization, T x fewer
         dispatches).  Params are constant across the chunk (updates happen
-        after the rollout), so the result is bitwise the per-step one."""
+        after the rollout), so the result is numerically equivalent to the
+        per-step one (XLA may fuse/reduce differently at the other batch
+        shape, so not necessarily bitwise).
+
+        Only valid for critics that ignore ``act`` (the PPO family that sets
+        stores_rollout_value); an action-conditioned critic would need the
+        rollout actions threaded through here."""
+        assert not self.model.rollout_value_needs_act, (
+            f"{type(self.model).__name__} stores rollout values but its "
+            "critic is action-conditioned; _rollout_values_all only supports "
+            "act=None critics")
         t, l = states.shape[0], states.shape[1]
         flat = states.reshape((t * l,) + states.shape[2:])
         v = self._rollout_value(algo, flat, None)
@@ -412,9 +428,14 @@ class PGTrainer:
         stats_acc = []
         for _ in range(self._chunks_per_episode):
             self.carry, stats = self._jit_chunk(self.carry)
+            prev_steps = self.steps
             self.steps += self._chunk_len
+            # fire on every target_update_freq boundary the chunk crossed —
+            # exact divisibility would silently never update when the chunk
+            # length doesn't divide the freq (e.g. freq=100, chunk=60)
             if not cfg.episodic and cfg.target and (
-                    self.steps % cfg.target_update_freq == 0):
+                    self.steps // cfg.target_update_freq
+                    > prev_steps // cfg.target_update_freq):
                 self.carry = self.carry.replace(
                     algo=self._jit_soft_update(self.carry.algo))
             stats_acc.append(stats)

@@ -225,9 +225,12 @@ def nr_solve_pallas(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
     Pallas interpreter for CPU-side testing.
     """
     ctx = get_ctx(grid)
-    n, npad, tile = ctx.n, ctx.npad, ctx.tile
+    n, npad = ctx.n, ctx.npad
     batch_shape = p_inj.shape[:-1]
     bsz = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
+    # shrink the batch tile for small batches (8-row min for f32 sublanes)
+    # so a 64-lane solve doesn't pay for a 512-row tile of padding
+    tile = min(ctx.tile, _round_up(bsz, 8))
     bpad = _round_up(max(bsz, tile), tile)
     dtype = jnp.float32
 
@@ -294,7 +297,23 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
     Under ``jax.vmap`` the custom batching rule routes the whole batch to the
     fused Pallas kernel when running on TPU with >= ``min_batch`` lanes, and
     to the XLA matrix-free solver otherwise — so environment code written
-    per-lane gets the fused kernel for free.
+    per-lane gets the fused kernel for free.  This is the production solver
+    the environment binds (mapdn_tpu.envs.voltage_control, EnvConfig
+    pf_backend); the per-step pandapower.runpp of the reference
+    (voltage_control_env.py:124,165,557) maps here.
+
+    backend: 'auto' (TPU + grid-size heuristic, below), 'xla' (never
+    kernel), 'pallas' (always kernel for batched calls, ignoring min_batch;
+    runs in interpreter mode off-TPU so the dispatch path itself is testable
+    on CPU).
+
+    The 'auto' policy is MEASURED, not assumed (TPU v5e, batch 8192/4096,
+    scripts/bench_solvers.py, see BENCH_SOLVERS.json): XLA's fused
+    matrix-free path wins on small grids where its 128-padded matmuls are
+    cheap (case33: 10.0M vs 5.6M solves/s), the two tie at case141
+    (3.42M vs 3.35M), and the packed-VMEM kernel wins once the per-iteration
+    working set outgrows what XLA keeps on-chip (case322: 1.77M vs 1.27M,
+    +39%).  So: kernel iff n_bus > 200 (npad >= 384).
     """
     from jax.custom_batching import custom_vmap
 
@@ -302,8 +321,11 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
         return nr_solve(grid, p, q, tol=tol, max_iter=max_iter,
                         vm0=vm0, va0=va0)
 
-    use_pallas = (backend == "pallas" or
-                  (backend == "auto" and jax.default_backend() == "tpu"))
+    on_tpu = jax.default_backend() == "tpu"
+    forced = backend == "pallas"
+    use_pallas = forced or (backend == "auto" and on_tpu
+                            and grid.n_bus > 200)
+    interpret = forced and not on_tpu
 
     @custom_vmap
     def solve(p, q, vm0, va0):
@@ -317,9 +339,13 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
 
         p, q, vm0, va0 = (bc(a, b) for a, b in
                           zip((p, q, vm0, va0), in_batched))
-        if use_pallas and axis_size >= min_batch:
+        if use_pallas and (forced or axis_size >= min_batch):
             res = nr_solve_pallas(grid, p, q, tol=tol, max_iter=max_iter,
-                                  vm0=vm0, va0=va0)
+                                  vm0=vm0, va0=va0, interpret=interpret)
+            if res.vm.dtype != p.dtype:  # kernel computes in f32
+                res = jax.tree_util.tree_map(
+                    lambda x: x.astype(p.dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, res)
         else:
             res = _xla(p, q, vm0, va0)
         return res, jax.tree_util.tree_map(lambda _: True, res)

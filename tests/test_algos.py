@@ -125,6 +125,35 @@ def test_trainer_smoke_mappo_onpolicy():
     assert int(trainer.carry.replay.size) == 0
 
 
+def test_target_update_fires_on_boundary_crossing():
+    """target_update_freq that the chunk length does NOT divide must still
+    fire soft updates (on every crossed boundary), not silently never
+    (regression: exact-divisibility check missed freq=6 with chunk=4)."""
+    from mapdn_tpu.envs import EnvConfig, make_env
+    from mapdn_tpu.learn.trainer import PGTrainer
+
+    env = make_env("case33", EnvConfig(episode_limit=8), days=4,
+                   dtype=jnp.float32)
+    info = env.get_env_info()
+    cfg, _ = load_config("iddpg")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], max_steps=8, behaviour_update_freq=4,
+        batch_size=4, value_update_epochs=1, policy_update_epochs=1,
+        target_update_freq=6,  # 4 and 8 are not multiples of 6
+        n_envs=2, num_eval_episodes=2, replay_buffer_size=64, hid_size=16,
+        replay_warmup=0)
+    model = make_model("iddpg", cfg)
+    trainer = PGTrainer(cfg, model, env).setup(seed=0)
+
+    t0 = jax.tree_util.tree_leaves(
+        trainer.carry.algo.target_policy_params)[0].copy()
+    trainer.run_episode()   # chunks end at steps 4, 8; 8//6 > 4//6 -> fires
+    t1 = jax.tree_util.tree_leaves(trainer.carry.algo.target_policy_params)[0]
+    assert float(jnp.max(jnp.abs(t1 - t0))) > 0, (
+        "soft target update never fired across the freq boundary")
+
+
 def test_episodic_mode_trains():
     """cfg.episodic: whole-episode replay + episode-cadence updates
     (reference model.py:72-96 / replay_buffer.py:33-58)."""

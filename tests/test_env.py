@@ -140,6 +140,30 @@ def test_decentralised_mode():
     assert bool(jnp.isfinite(out.reward))
 
 
+def test_reset_retry_exhaustion_terminates():
+    """pf_max_iter=0 makes every solve report non-convergence: after
+    reset_retries failed attempts the lane must come back TERMINATED (not a
+    trainable flat-profile fallback) with finite observations."""
+    env = make_env("case33",
+                   EnvConfig(episode_limit=8, pf_max_iter=0, reset_retries=2),
+                   days=4, dtype=jnp.float64)
+    state, obs, gs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert bool(state.terminated)
+    assert bool(jnp.all(jnp.isfinite(obs))) and bool(jnp.all(jnp.isfinite(gs)))
+
+
+def test_step_propagates_incoming_terminated(env33):
+    """A lane already marked terminated (failed reset attempt) must stay
+    terminated through step() so the auto-reset path re-resets it."""
+    env = env33
+    state, _, _ = env.reset(jax.random.PRNGKey(21))
+    out_ok = env.step(state, jnp.zeros(6), jax.random.PRNGKey(22))
+    assert not bool(out_ok.terminated)
+    dead = state.replace(terminated=jnp.asarray(True))
+    out = env.step(dead, jnp.zeros(6), jax.random.PRNGKey(22))
+    assert bool(out.terminated)
+
+
 def test_destroy_semantics():
     """Forced divergence (absurd load) must penalize, roll back, terminate."""
     env = make_env("case33", EnvConfig(episode_limit=240), days=8, dtype=jnp.float64)

@@ -13,10 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mapdn_tpu.algos.base import Transition, soft_update
+from mapdn_tpu.algos.base import soft_update
 from mapdn_tpu.learn import replay as rb
-from mapdn_tpu.learn.sampling import (
-    gumbel_softmax_sample, normal_log_density, translate_action)
+from mapdn_tpu.learn.losses import gae_advantages
+from mapdn_tpu.learn.sampling import gumbel_softmax_sample, normal_log_density
 from mapdn_tpu.nets.critics import QMixer
 
 
@@ -176,10 +176,10 @@ def test_translate_actions_decentralised_routing():
 
 
 # ----------------------------------------------------------------------- GAE
-def test_ppo_gae_matches_numpy_reference():
-    """Drive ppo_loss's reverse-scan GAE indirectly: with a linear-in-params
-    value stub it's opaque, so replicate the recursion contract directly on
-    the same inputs the loss consumes (learning_algorithms/ppo.py:46-54)."""
+def test_gae_advantages_matches_numpy_reference():
+    """Drive the GAE recursion ppo_loss actually calls
+    (mapdn_tpu.learn.losses.gae_advantages) against a hand-rolled backward
+    loop (reference learning_algorithms/ppo.py:46-54)."""
     T, L, n = 6, 2, 3
     rng = np.random.default_rng(0)
     r = rng.normal(size=(T, L, n)).astype(np.float32)
@@ -189,20 +189,11 @@ def test_ppo_gae_matches_numpy_reference():
     last_step = done.copy()
     gamma, lam = 0.99, 0.95
 
-    # the recursion under test, exactly as in mapdn_tpu/learn/losses.py
     mask = np.where(last_step[..., None] > 0, 1.0 - done[..., None], 1.0)
 
-    def jax_gae():
-        def gae_step(last_adv, xs):
-            r_, onv, ov, m = xs
-            delta = r_ + gamma * onv * m - ov
-            adv = delta + gamma * lam * last_adv * m
-            return adv, adv
-        _, advantages = jax.lax.scan(
-            gae_step, jnp.zeros((L, n)),
-            (jnp.asarray(r), jnp.asarray(nv), jnp.asarray(v),
-             jnp.asarray(mask)), reverse=True)
-        return np.asarray(advantages)
+    got = np.asarray(gae_advantages(
+        jnp.asarray(r), jnp.asarray(nv), jnp.asarray(v), jnp.asarray(mask),
+        gamma, lam))
 
     want = np.zeros_like(r)
     last = np.zeros((L, n), np.float32)
@@ -210,4 +201,40 @@ def test_ppo_gae_matches_numpy_reference():
         delta = r[t] + gamma * nv[t] * mask[t] - v[t]
         last = delta + gamma * lam * last * mask[t]
         want[t] = last
-    np.testing.assert_allclose(jax_gae(), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ppo_loss_uses_gae_advantages(monkeypatch):
+    """A regression in the wiring (ppo_loss not consuming gae_advantages)
+    must be caught: patch the function and assert the loss changes."""
+    from mapdn_tpu.algos import make_model
+    from mapdn_tpu.learn import losses
+    from mapdn_tpu.utils.config import load_config
+    from mapdn_tpu.algos.base import Transition
+
+    cfg, _ = load_config("mappo")
+    cfg = cfg.replace(agent_num=2, obs_size=5, action_dim=1, hid_size=8,
+                      normalize_advantages=False)
+    model = make_model("mappo", cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+
+    T, L, n, o, a, h = 4, 3, 2, 5, 1, 8
+    rng = np.random.default_rng(1)
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    batch = Transition(
+        state=f(T, L, n, o), action=jnp.tanh(f(T, L, n, a)),
+        log_prob_a=f(T, L, n, a) * 0.1, value=f(T, L, n),
+        next_value=f(T, L, n), reward=f(T, L, n), next_state=f(T, L, n, o),
+        done=jnp.zeros((T, L), jnp.float32),
+        last_step=jnp.zeros((T, L), jnp.float32),
+        last_hid=jnp.zeros((T, L, n, h), jnp.float32),
+        hid=jnp.zeros((T, L, n, h), jnp.float32))
+    avail = jnp.ones((n, a))
+    key = jax.random.PRNGKey(2)
+
+    pl0, _, _ = model.get_loss(state, batch, avail, key)
+    monkeypatch.setattr(losses, "gae_advantages",
+                        lambda r, *a, **kw: jnp.ones_like(r))
+    pl1, _, _ = model.get_loss(state, batch, avail, key)
+    assert abs(float(pl0) - float(pl1)) > 1e-8, (
+        "ppo_loss no longer consumes losses.gae_advantages")
