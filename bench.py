@@ -65,11 +65,13 @@ def main():
     # update_lanes bounds update-side compute as n_envs scales: each of the
     # 20 update epochs per 60-step chunk grads over 32 steps x 1024 random
     # lanes = 32k transitions (the reference's minibatch is 32).
+    # reference cadence exactly (reference args/default.yaml): update every
+    # 60 env steps with 10 value epochs + 1 policy epoch on batch 32
     cfg = cfg.replace(
         agent_num=info["n_agents"], obs_size=info["obs_shape"],
         action_dim=info["n_actions"], n_envs=n_envs,
         behaviour_update_freq=60, batch_size=32,
-        value_update_epochs=10, policy_update_epochs=10,
+        value_update_epochs=10, policy_update_epochs=1,
         update_lanes=1024)
     model = make_model("mappo", cfg)
     trainer = PGTrainer(cfg, model, env).setup(seed=0)
