@@ -34,7 +34,7 @@ import optax
 from flax import struct
 
 from mapdn_tpu.learn.sampling import (
-    batchnorm, normal_log_density, select_action_continuous)
+    batchnorm, select_action_continuous)
 from mapdn_tpu.nets.agents import (
     MLPAgent, MLPAgentGaussian, RNNAgent, RNNAgentGaussian)
 from mapdn_tpu.nets.critics import MLPCritic
@@ -105,15 +105,14 @@ class MARLModel:
         self.obs_dim = cfg.obs_size
         self.act_dim = cfg.action_dim
         self.hid_dim = cfg.hid_size
-        if not cfg.shared_params:
-            raise NotImplementedError(
-                "non-shared per-agent parameters: planned; the reference's "
-                "benchmark configs all use shared_params=True")
         if not cfg.continuous:
             raise NotImplementedError(
-                "discrete action spaces: the reference's voltage-control "
-                "benchmark only exercises the continuous path "
-                "(args/default.yaml continuous: True)")
+                "discrete action spaces: the voltage-control benchmark only "
+                "exercises the continuous path (reference args/default.yaml "
+                "continuous: True; its discrete loss branches are broken, "
+                "e.g. coma.py:83). The selection/density utilities exist in "
+                "learn.sampling (select_action_discrete, "
+                "multinomials_log_density) for custom discrete envs.")
 
         self.policy_module = self._make_policy_module()
         self.construct_value_net()
@@ -169,7 +168,40 @@ class MARLModel:
     def init_value_params(self, key):
         """Default: an MLPCritic over a flat input of self.value_in_dim
         (subclasses with exotic critics override)."""
-        return self.value_module.init(key, jnp.zeros((1, self.value_in_dim)))
+        return self._stacked_init(
+            self.value_module, key, jnp.zeros((1, self.value_in_dim)))
+
+    # ------------------------------------------------- shared vs. per-agent
+    def _stacked_init(self, module, key, *example):
+        """Init module params; with ``shared_params: False`` returns a
+        per-agent parameter stack (leading n axis) — the JAX analog of the
+        reference's per-agent ModuleLists (reference model.py:165-168,
+        iddpg.py:25-28)."""
+        if self.cfg.shared_params:
+            return module.init(key, *example)
+        keys = jax.random.split(key, self.n)
+        return jax.vmap(lambda k: module.init(k, *example))(keys)
+
+    def _per_agent_apply(self, module, params, *inputs):
+        """Apply ``module`` with a stacked (leading n axis) param tree over
+        the agent axis of ``inputs`` ((b, n, ...) each), returning outputs
+        with a (b, n, ...) layout.  One vmapped call instead of the
+        reference's Python loop over per-agent modules (model.py:122-137)."""
+        in_axes = (0,) + (1,) * len(inputs)
+        return jax.vmap(module.apply, in_axes=in_axes, out_axes=1)(
+            params, *inputs)
+
+    def _apply_critic(self, params, inputs):
+        """Evaluate self.value_module on per-agent inputs (b, n, d) -> (b, n).
+
+        Shared params: one (b*n, d) batched forward.  Non-shared: stacked
+        per-agent params via vmap (reference's per-agent value_dicts loop,
+        e.g. iddpg.py:44-57)."""
+        b, n = inputs.shape[0], inputs.shape[1]
+        if self.cfg.shared_params:
+            v = self.value_module.apply(params, inputs.reshape(b * n, -1))
+            return v.reshape(b, n)
+        return self._per_agent_apply(self.value_module, params, inputs)[..., 0]
 
     def init_mixer_params(self, key):
         return {}
@@ -177,7 +209,7 @@ class MARLModel:
     def init_state(self, key) -> AlgoState:
         kp, kv, km = jax.random.split(key, 3)
         x, h = self._example_policy_in()
-        policy_params = self.policy_module.init(kp, x, h)
+        policy_params = self._stacked_init(self.policy_module, kp, x, h)
         value_params = self.init_value_params(kv)
         mixer_params = self.init_mixer_params(km) if self.uses_mixer else {}
         return AlgoState(
@@ -198,20 +230,30 @@ class MARLModel:
             jnp.eye(self.n, dtype=dtype), (batch_size, self.n, self.n))
 
     def policy(self, params, obs, last_hid):
-        """(b, n, o) -> means/log_stds/hid (b, n, ·) (reference model.py:101-139)."""
+        """(b, n, o) -> means/log_stds/hid (b, n, ·) (reference model.py:101-139).
+
+        shared_params=False runs the per-agent parameter stack via vmap over
+        the agent axis (reference model.py:122-137 loops Python modules)."""
         b = obs.shape[0]
         if self.cfg.agent_id:
             obs = jnp.concatenate([obs, self.agent_ids(b, obs.dtype)], axis=-1)
-        flat = obs.reshape(b * self.n, -1)
-        hid_flat = last_hid.reshape(b * self.n, self.hid_dim)
-        means, log_stds, hid = self.policy_module.apply(params, flat, hid_flat)
-        means = means.reshape(b, self.n, -1)
-        if hid is None:
-            hid = hid_flat
-        hid = hid.reshape(b, self.n, -1)
-        if self.cfg.gaussian_policy:
-            log_stds = log_stds.reshape(b, self.n, -1)
+        if self.cfg.shared_params:
+            flat = obs.reshape(b * self.n, -1)
+            hid_flat = last_hid.reshape(b * self.n, self.hid_dim)
+            means, log_stds, hid = self.policy_module.apply(
+                params, flat, hid_flat)
+            means = means.reshape(b, self.n, -1)
+            if hid is None:
+                hid = hid_flat
+            hid = hid.reshape(b, self.n, -1)
+            if self.cfg.gaussian_policy:
+                log_stds = log_stds.reshape(b, self.n, -1)
         else:
+            means, log_stds, hid = self._per_agent_apply(
+                self.policy_module, params, obs, last_hid)
+            if hid is None:
+                hid = last_hid
+        if not self.cfg.gaussian_policy:
             log_stds = jnp.full_like(
                 means, jnp.log(jnp.asarray(self.cfg.fixed_policy_std,
                                            means.dtype)))

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from mapdn_tpu.algos.base import MARLModel
-from mapdn_tpu.learn.sampling import batchnorm, normal_log_density
+from mapdn_tpu.learn.sampling import batchnorm, policy_log_density
 
 
 class COMA(MARLModel):
@@ -40,10 +40,8 @@ class COMA(MARLModel):
 
     def value_joint(self, params, obs, act_joint):
         """obs (b, n, o); act_joint (b, n, n*a) per-agent joint actions."""
-        b = obs.shape[0]
         inp = jnp.concatenate([self._critic_obs(obs), act_joint], axis=-1)
-        v = self.value_module.apply(params, inp.reshape(b * self.n, -1))
-        return v.reshape(b, self.n)
+        return self._apply_critic(params, inp)
 
     def value(self, params, obs, act):
         b = obs.shape[0]
@@ -58,7 +56,7 @@ class COMA(MARLModel):
         k_next, k_sample = jax.random.split(key)
 
         means, log_stds, _ = self.policy(state.policy_params, b.state, b.last_hid)
-        log_prob_a = normal_log_density(b.action, means, log_stds)
+        log_prob_a = policy_log_density(cfg, b.action, means, log_stds)
 
         next_params = (state.policy_params if cfg.double_q
                        else state.target_policy_params)

@@ -23,9 +23,8 @@ class IAC(MARLModel):
         b = obs.shape[0]
         if self.cfg.agent_id:
             obs = jnp.concatenate([obs, self.agent_ids(b, obs.dtype)], axis=-1)
-        inputs = jnp.concatenate([obs, act], axis=-1).reshape(b * self.n, -1)
-        v = self.value_module.apply(params, inputs)
-        return v.reshape(b, self.n)
+        inputs = jnp.concatenate([obs, act], axis=-1)
+        return self._apply_critic(params, inputs)
 
     def get_loss(self, state, batch, avail, key):
         return actor_critic_loss(self, state, batch, avail, key)

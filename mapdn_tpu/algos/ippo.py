@@ -22,8 +22,7 @@ class IPPO(MARLModel):
         b = obs.shape[0]
         if self.cfg.agent_id:
             obs = jnp.concatenate([obs, self.agent_ids(b, obs.dtype)], axis=-1)
-        v = self.value_module.apply(params, obs.reshape(b * self.n, -1))
-        return v.reshape(b, self.n)
+        return self._apply_critic(params, obs)
 
     def get_loss(self, state, batch, avail, key):
         return ppo_loss(self, state, batch, avail, key)

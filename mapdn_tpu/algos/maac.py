@@ -24,6 +24,12 @@ class MAAC(MARLModel):
 
     def construct_value_net(self):
         cfg = self.cfg
+        if not cfg.shared_params:
+            raise NotImplementedError(
+                "MAAC's attention critic already realizes per-agent "
+                "encoders/heads internally (AttentionCritic nn.vmap axes); "
+                "a non-shared variant would duplicate the shared attention "
+                "projections and is not part of the reference benchmark")
         self.value_module = AttentionCritic(
             n_agents=self.n, obs_dim=self.obs_dim, act_dim=self.act_dim,
             hid_size=cfg.hid_size, attend_heads=cfg.attend_heads or 1,

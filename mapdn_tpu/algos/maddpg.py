@@ -20,7 +20,7 @@ class MADDPG(MARLModel):
         self.value_module = self._mlp_critic(1)
 
     def _joint_input(self, obs, act):
-        """(b, n, o), (b, n, a) -> (b*n, n*o [+n] + n*a) with other agents'
+        """(b, n, o), (b, n, a) -> (b, n, n*o [+n] + n*a) with other agents'
         actions stop-gradiented (reference maddpg.py:40-65)."""
         b = obs.shape[0]
         obs_rep = jnp.broadcast_to(
@@ -36,12 +36,10 @@ class MADDPG(MARLModel):
         act_rep = (jax.lax.stop_gradient(act_rep) * (1.0 - own_mask)
                    + act_rep * own_mask)
         act_rep = act_rep.reshape(b, self.n, -1)
-        return jnp.concatenate([obs_rep, act_rep], axis=-1).reshape(b * self.n, -1)
+        return jnp.concatenate([obs_rep, act_rep], axis=-1)
 
     def value(self, params, obs, act):
-        b = obs.shape[0]
-        v = self.value_module.apply(params, self._joint_input(obs, act))
-        return v.reshape(b, self.n)
+        return self._apply_critic(params, self._joint_input(obs, act))
 
     def get_loss(self, state, batch, avail, key):
         return ddpg_loss(self, state, batch, avail, key)

@@ -26,14 +26,12 @@ class MATD3(MADDPG):
 
     def value(self, params, obs, act):
         """Returns (q1, q2), each (b, n)."""
-        b = obs.shape[0]
         inputs = self._joint_input(obs, act)
-        zeros = jnp.zeros((inputs.shape[0], 1), inputs.dtype)
-        ones = jnp.ones((inputs.shape[0], 1), inputs.dtype)
-        v1 = self.value_module.apply(
-            params, jnp.concatenate([inputs, zeros], axis=-1)).reshape(b, self.n)
-        v2 = self.value_module.apply(
-            params, jnp.concatenate([inputs, ones], axis=-1)).reshape(b, self.n)
+        zeros = jnp.zeros(inputs.shape[:-1] + (1,), inputs.dtype)
+        v1 = self._apply_critic(
+            params, jnp.concatenate([inputs, zeros], axis=-1))
+        v2 = self._apply_critic(
+            params, jnp.concatenate([inputs, 1.0 - zeros], axis=-1))
         return v1, v2
 
     def get_actions(self, params, obs, last_hid, key, *, status, exploration,

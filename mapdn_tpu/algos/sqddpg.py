@@ -57,7 +57,7 @@ class SQDDPG(MARLModel):
                 jnp.eye(n, dtype=obs.dtype), (b, s, n, n))
             inp = jnp.concatenate([inp, ids], axis=-1)
 
-        v = self.value_module.apply(params, inp.reshape(b * s * n, -1))
+        v = self._apply_critic(params, inp.reshape(b * s, n, -1))
         return v.reshape(b, s, n)
 
     def value(self, params, obs, act, key=None):

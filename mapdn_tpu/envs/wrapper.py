@@ -47,7 +47,9 @@ class VoltageControlWrapper:
         self._gs = None
 
         self._jit_reset = jax.jit(self.env.reset)
-        self._jit_manual = jax.jit(self.env.manual_reset, static_argnums=(0, 1, 2))
+        # day/hour/interval are traced (plain arithmetic into a dynamic
+        # gather), so replaying many test days reuses ONE compiled program
+        self._jit_manual = jax.jit(self.env.manual_reset)
         self._jit_step = jax.jit(self.env.step, static_argnames=("add_noise",))
 
     def _split(self):

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from mapdn_tpu.algos.base import flatten_batch
-from mapdn_tpu.learn.sampling import batchnorm, normal_log_density
+from mapdn_tpu.learn.sampling import batchnorm, policy_log_density
 
 
 def gae_advantages(rewards, next_values, values, mask, gamma, lambda_):
@@ -83,7 +83,7 @@ def actor_critic_loss(model, state, batch, avail, key):
     k1 = key
 
     means, log_stds, _ = model.policy(state.policy_params, b.state, b.last_hid)
-    log_prob_a = normal_log_density(b.action, means, log_stds)
+    log_prob_a = policy_log_density(cfg, b.action, means, log_stds)
     restore_mask = (avail != 0).astype(means.dtype)
     log_prob_a = jnp.sum(restore_mask * log_prob_a, axis=-1)  # (b, n)
 
@@ -145,14 +145,24 @@ def ppo_loss(model, state, batch, avail, key):
     means, log_stds, _ = model.policy(state.policy_params, b.state, b.last_hid)
     restore_mask = (avail != 0).astype(restore_mask_dtype)
     log_prob_a = jnp.sum(
-        restore_mask * normal_log_density(b.action, means, log_stds), axis=-1)
+        restore_mask * policy_log_density(cfg, b.action, means, log_stds),
+        axis=-1)
     old_log_prob_a = jnp.sum(restore_mask * b.log_prob_a, axis=-1)
     ratios = jnp.exp(log_prob_a - jax.lax.stop_gradient(old_log_prob_a))
 
     values = model.value(state.value_params, b.state, None)
-    next_values = model.value(state.value_params, b.next_state, None)
     done_f = b.done[:, None]
-    returns = rewards_f + cfg.gamma * (1.0 - done_f) * jax.lax.stop_gradient(next_values)
+    if cfg.ppo_value_target == "gae":
+        # standard PPO: targets fixed within the update (the bootstrap
+        # variant regresses V onto r + gamma*V(s') of the SAME live params —
+        # reference ppo.py:56 — which runs away once the batch is big enough
+        # for the critic to actually follow its own targets)
+        returns = jax.lax.stop_gradient(
+            advantages + flatten_batch(old_values))
+    else:
+        next_values = model.value(state.value_params, b.next_state, None)
+        returns = rewards_f + cfg.gamma * (1.0 - done_f) * \
+            jax.lax.stop_gradient(next_values)
 
     if cfg.normalize_advantages:
         advantages = batchnorm(advantages)

@@ -6,10 +6,14 @@ are python-static).
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-LOG2PI = jnp.log(2.0 * jnp.pi)
+# host constant: keeps importing this module from initializing the XLA
+# backend (jax.distributed.initialize must run before any device op)
+LOG2PI = math.log(2.0 * math.pi)
 
 
 def normal_log_density(x, mean, log_std):
@@ -33,6 +37,69 @@ def gumbel_softmax_sample(key, logits, temperature=0.1, eps=1e-20):
     u = jax.random.uniform(key, logits.shape, logits.dtype)
     g = -jnp.log(-jnp.log(u + eps) + eps)
     return jax.nn.softmax((logits + g) / temperature, axis=-1)
+
+
+def policy_log_density(cfg, actions, means, log_stds):
+    """Log density of a STORED action under the current policy.
+
+    With ``action_enforcebound`` stored actions are tanh-squashed
+    (y = tanh(x), x ~ N(mean, std)); the correct density of y inverts the
+    squash: log N(atanh(y); mean, std) - log(1 - y^2).  The reference
+    instead evaluates N(y; mean, std) directly on the squashed action
+    (ppo.py:30-31, actor_critic.py:27-28) — inconsistent with the
+    rollout-side corrected density, which breaks PPO's importance ratio.
+    Deviation documented in configs/alg/mappo.yaml.
+    """
+    if cfg.action_enforcebound:
+        y = jnp.clip(actions, -1.0 + 1e-6, 1.0 - 1e-6)
+        x = jnp.arctanh(y)
+        return normal_log_density(x, means, log_stds) - jnp.log(
+            1.0 - y * y + 1e-6)
+    return normal_log_density(actions, means, log_stds)
+
+
+def multinomials_log_density(actions, logits):
+    """Categorical log density sum_i a_i log p_i (reference util.py:47-50).
+    Valid for hard one-hots and for Gumbel-softmax relaxed samples (the
+    torch OneHotCategorical.log_prob semantics the reference relies on)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.sum(actions * logp, axis=-1, keepdims=True)
+
+
+def select_action_discrete(cfg, key, logits, *, status="train",
+                           exploration=True):
+    """Discrete-action selection (reference util.py:87-121).
+
+    train+exploration: epsilon-softmax categorical (cfg.epsilon_softmax),
+    reparameterized Gumbel-softmax rsample at T=0.1 (cfg.gumbel_softmax),
+    or a plain one-hot categorical; train w/o exploration: the same but the
+    Gumbel path samples detached at T=1.0; test: greedy argmax one-hot.
+    Returns (actions, log_prob | None).  NOTE the reference's own discrete
+    loss branches are broken (e.g. coma.py:83 'unsuqeeze'); this benchmark
+    only exercises continuous actions — these utilities exist for API
+    parity and custom discrete envs."""
+    n = logits.shape[-1]
+    if status == "test":
+        p = jax.nn.softmax(logits, axis=-1)
+        greedy = (p == jnp.max(p, axis=-1, keepdims=True))
+        return greedy.astype(logits.dtype), None
+    if exploration and cfg.epsilon_softmax:
+        eps = cfg.softmax_eps
+        probs = (1.0 - eps) * jax.nn.softmax(logits, axis=-1) + eps / n
+        idx = jax.random.categorical(key, jnp.log(probs))
+        actions = jax.nn.one_hot(idx, n, dtype=logits.dtype)
+        log_prob = jnp.sum(actions * jnp.log(probs), axis=-1, keepdims=True)
+        return actions, log_prob
+    if cfg.gumbel_softmax:
+        if exploration:   # differentiable rsample (reference :97-101)
+            actions = gumbel_softmax_sample(key, logits, temperature=0.1)
+        else:             # detached T=1.0 sample (reference :109-113)
+            actions = jax.lax.stop_gradient(
+                gumbel_softmax_sample(key, logits, temperature=1.0))
+        return actions, multinomials_log_density(actions, logits)
+    idx = jax.random.categorical(key, logits)
+    actions = jax.nn.one_hot(idx, n, dtype=logits.dtype)
+    return actions, multinomials_log_density(actions, logits)
 
 
 def select_action_continuous(cfg, key, means, log_stds, *, status="train",

@@ -61,24 +61,50 @@ class PGTester:
 
     def batch_run(self, num_episodes=100) -> Dict[str, tuple]:
         """Aggregate info metrics over random episodes
-        (reference tester.py:65-99): {metric: (mean, 2*std)}."""
-        env = self.env
-        results: Dict[str, list] = {}
-        key = jax.random.PRNGKey(1)
-        reset = jax.jit(env.reset)
-        step = jax.jit(env.step, static_argnames=("add_noise",))
-        for _ in range(num_episodes):
-            key, k_reset = jax.random.split(key)
-            state, obs, _ = reset(k_reset)
-            hid = self.model.init_hidden(1, obs.dtype)
-            for t in range(self.cfg.max_steps):
-                key, k_act, k_env = jax.random.split(key, 3)
-                actions, hid = self._greedy_actions(obs, hid, k_act)
-                out = step(state, actions, k_env, add_noise=False)
-                state, obs = out.state, out.obs
-                for k, v in out.info.items():
-                    results.setdefault("mean_test_" + k, []).append(float(v))
-                if bool(out.terminated):
-                    break
-        return {k: (float(np.mean(v)), 2.0 * float(np.std(v)))
-                for k, v in results.items()}
+        (reference tester.py:65-99): {metric: (mean, 2*std)}.
+
+        All episodes run as vmapped lanes inside ONE jitted scan (the
+        reference loops Python episodes x steps with a fresh forward per
+        step, tester.py:73-96); per-step info samples after a lane
+        terminates are masked out, matching the reference's early break."""
+        env, model, cfg = self.env, self.model, self.cfg
+
+        def rollout(algo, key):
+            k_env, k_roll = jax.random.split(key)
+            env_keys = jax.random.split(k_env, num_episodes)
+            state, obs, _ = jax.vmap(env.reset)(env_keys)
+            hid = model.init_hidden(num_episodes, obs.dtype)
+
+            def step(carry, k):
+                state, obs, hid, alive = carry
+                k_act, k_step = jax.random.split(k)
+                _, action_pol, _, _, hid2 = model.get_actions(
+                    algo.policy_params, obs, hid, k_act,
+                    status="test", exploration=False, avail=self.avail)
+                env_actions = jax.vmap(env.translate_actions)(action_pol)
+                step_keys = jax.random.split(k_step, num_episodes)
+                out = jax.vmap(
+                    lambda s, a, kk: env.step(s, a, kk, add_noise=False))(
+                        state, env_actions, step_keys)
+                # masked first/second moments: samples past termination
+                # don't exist in the reference's lists (early break)
+                sums = {k2: (jnp.sum(v * alive), jnp.sum(v * v * alive))
+                        for k2, v in out.info.items()}
+                n_alive = jnp.sum(alive)
+                alive = alive * (1.0 - out.terminated.astype(alive.dtype))
+                return (out.state, out.obs, hid2, alive), (sums, n_alive)
+
+            keys = jax.random.split(k_roll, cfg.max_steps)
+            alive0 = jnp.ones(num_episodes, obs.dtype)
+            _, (sums, n_alive) = jax.lax.scan(
+                step, (state, obs, hid, alive0), keys)
+            count = jnp.maximum(jnp.sum(n_alive), 1.0)
+            out = {}
+            for k2, (s1, s2) in sums.items():
+                mean = jnp.sum(s1) / count
+                var = jnp.maximum(jnp.sum(s2) / count - mean * mean, 0.0)
+                out["mean_test_" + k2] = (mean, 2.0 * jnp.sqrt(var))
+            return out
+
+        stats = jax.jit(rollout)(self.algo, jax.random.PRNGKey(1))
+        return {k: (float(m), float(s)) for k, (m, s) in stats.items()}

@@ -68,8 +68,18 @@ def _carry_shardings(mesh, carry: TrainerCarry):
 
 
 def shard_carry(mesh, carry: TrainerCarry) -> TrainerCarry:
+    """Lay the (identically-seeded, locally-materialized) carry out over the
+    mesh.  Multi-process: leaves go through the host so device_put can
+    assemble one global array from every process's consistent copy
+    (jax.distributed semantics; single-process skips the host hop)."""
     shardings = _carry_shardings(mesh, carry)
-    return jax.tree_util.tree_map(jax.device_put, carry, shardings)
+    multiproc = jax.process_count() > 1
+
+    def put(x, s):
+        import numpy as np
+        return jax.device_put(np.asarray(x) if multiproc else x, s)
+
+    return jax.tree_util.tree_map(put, carry, shardings)
 
 
 class ShardedPGTrainer(PGTrainer):

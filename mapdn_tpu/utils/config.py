@@ -83,6 +83,11 @@ class AlgoConfig:
     lambda_: Optional[float] = None          # ppo GAE
     eps_clip: Optional[float] = None         # ppo
     value_loss_coef: Optional[float] = None  # ppo
+    # "bootstrap": reference-parity one-step target off the live critic
+    # (reference ppo.py:56 — diverges at large batch, the critic chases
+    # itself); "gae": standard PPO target advantages + old values, fixed
+    # within the update
+    ppo_value_target: str = "bootstrap"
     attend_heads: Optional[int] = None       # maac
     norm_in: Optional[bool] = None           # maac
     soft: Optional[bool] = None              # maac

@@ -238,3 +238,69 @@ def test_ppo_loss_uses_gae_advantages(monkeypatch):
     pl1, _, _ = model.get_loss(state, batch, avail, key)
     assert abs(float(pl0) - float(pl1)) > 1e-8, (
         "ppo_loss no longer consumes losses.gae_advantages")
+
+
+def test_policy_log_density_consistent_with_rollout():
+    """The loss-side density of a stored tanh-squashed action must equal the
+    rollout-side corrected density select_action_continuous returned for it
+    (the reference evaluates N(y) on the squashed y, ppo.py:30-31, breaking
+    the PPO ratio against its own stored log-probs)."""
+    from mapdn_tpu.learn.sampling import (
+        policy_log_density, select_action_continuous)
+
+    class C:
+        action_enforcebound = True
+        clip_c = 1.0
+
+    key = jax.random.PRNGKey(0)
+    means = jnp.asarray(np.random.default_rng(0).normal(size=(64, 3, 1)),
+                        jnp.float32)
+    log_stds = jnp.zeros_like(means)
+    y, logp_rollout = select_action_continuous(
+        C, key, means, log_stds, status="train", exploration=True)
+    logp_loss = policy_log_density(C, y, means, log_stds)
+    np.testing.assert_allclose(np.asarray(logp_loss),
+                               np.asarray(logp_rollout), rtol=1e-3, atol=1e-4)
+
+
+def test_ppo_gae_value_target_wiring():
+    """ppo_value_target='gae': the critic target must be exactly
+    advantages + old values (fixed within the update), not the live-critic
+    bootstrap (the reference-parity default, ppo.py:56)."""
+    from mapdn_tpu.algos import make_model
+    from mapdn_tpu.algos.base import Transition
+    from mapdn_tpu.learn.losses import gae_advantages
+    from mapdn_tpu.utils.config import load_config
+
+    cfg, _ = load_config("mappo")
+    cfg = cfg.replace(agent_num=2, obs_size=5, action_dim=1, hid_size=8,
+                      normalize_advantages=False, reward_normalisation=False,
+                      ppo_value_target="gae")
+    model = make_model("mappo", cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+
+    T, L, n, o, a, h = 4, 3, 2, 5, 1, 8
+    rng = np.random.default_rng(3)
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    done = jnp.zeros((T, L), jnp.float32)
+    batch = Transition(
+        state=f(T, L, n, o), action=jnp.tanh(f(T, L, n, a)),
+        log_prob_a=f(T, L, n, a) * 0.1, value=jnp.zeros((T, L, n), jnp.float32),
+        next_value=f(T, L, n), reward=f(T, L, n), next_state=f(T, L, n, o),
+        done=done, last_step=done,
+        last_hid=jnp.zeros((T, L, n, h), jnp.float32),
+        hid=jnp.zeros((T, L, n, h), jnp.float32))
+    avail = jnp.ones((n, a))
+
+    # critic and old values pinned to zero: clipped branch == unclipped,
+    # value_loss = coef * mean(target^2), target = gae advantages + 0
+    model.value = lambda params, obs, act=None: jnp.zeros(
+        (obs.shape[0], n), obs.dtype)
+    _, vl, _ = model.get_loss(state, batch, avail, jax.random.PRNGKey(4))
+
+    mask = jnp.ones((T, L, 1), jnp.float32)
+    adv = gae_advantages(batch.reward, batch.next_value, batch.value, mask,
+                         cfg.gamma, cfg.lambda_)
+    target = np.asarray(adv).reshape(-1, n)
+    want = cfg.value_loss_coef * np.mean(target**2)
+    np.testing.assert_allclose(float(vl), want, rtol=1e-5)

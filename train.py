@@ -16,16 +16,11 @@ import os
 import time
 
 import jax
-
-from mapdn_tpu.algos import STRATEGY_REGISTRY, make_model
-from mapdn_tpu.envs import EnvConfig, make_env
-from mapdn_tpu.learn.trainer import PGTrainer
-from mapdn_tpu.utils.checkpoint import save_checkpoint, save_model
-from mapdn_tpu.utils.config import load_config
-from mapdn_tpu.utils.logging import MetricsLogger
+import jax.numpy as jnp
 
 
 def build_env_cfg(env_dict):
+    from mapdn_tpu.envs import EnvConfig
     return EnvConfig(
         mode=env_dict["mode"],
         voltage_barrier_type=env_dict["voltage_barrier_type"],
@@ -64,7 +59,41 @@ def main():
     parser.add_argument("--days", type=int, default=40,
                         help="synthetic dataset length in days")
     parser.add_argument("--seed", type=int, default=0)
+    # multi-host / multi-chip (no reference analog: its launch scripts farm
+    # independent single-GPU processes, train_case33.sh:7-21)
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize; on TPU "
+                             "pods arguments are auto-detected, elsewhere "
+                             "pass --coordinator/--num-processes/--process-id")
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax backend (e.g. cpu for fake-mesh "
+                             "multi-process tests)")
+    parser.add_argument("--max-steps", type=int, default=None,
+                        help="override episode length (smoke tests)")
     argv = parser.parse_args()
+
+    if argv.platform:
+        jax.config.update("jax_platforms", argv.platform)
+    if argv.distributed:
+        kw = {}
+        if argv.coordinator is not None:
+            kw = dict(coordinator_address=argv.coordinator,
+                      num_processes=argv.num_processes,
+                      process_id=argv.process_id)
+        jax.distributed.initialize(**kw)
+    is_main = jax.process_index() == 0
+
+    # imported after jax.distributed.initialize (importing the package must
+    # not touch the XLA backend first)
+    from mapdn_tpu.algos import STRATEGY_REGISTRY, make_model
+    from mapdn_tpu.envs import make_env
+    from mapdn_tpu.learn.trainer import PGTrainer
+    from mapdn_tpu.utils.checkpoint import save_checkpoint, save_model
+    from mapdn_tpu.utils.config import load_config
+    from mapdn_tpu.utils.logging import MetricsLogger
 
     overrides = {"seed": argv.seed}
     if argv.n_envs:
@@ -82,6 +111,8 @@ def main():
     cfg = cfg.replace(agent_num=info["n_agents"], obs_size=info["obs_shape"],
                       action_dim=info["n_actions"],
                       max_steps=min(cfg.max_steps, info["episode_limit"]))
+    if argv.max_steps:
+        cfg = cfg.replace(max_steps=argv.max_steps)
 
     log_name = "-".join(filter(None, [
         argv.env, argv.scenario, argv.mode, argv.alg,
@@ -89,24 +120,35 @@ def main():
     save_path = argv.save_path.rstrip("/") + "/"
     model_dir = os.path.join(save_path, "model_save", log_name)
     tb_dir = os.path.join(save_path, "tensorboard", log_name)
-    os.makedirs(model_dir, exist_ok=True)
-    logger = MetricsLogger(tb_dir)
-    logger.log_config(cfg, env_dict)
+    logger = None
+    if is_main:
+        os.makedirs(model_dir, exist_ok=True)
+        logger = MetricsLogger(tb_dir)
+        logger.log_config(cfg, env_dict)
 
     strategy = STRATEGY_REGISTRY[argv.alg]
     if strategy != "pg":
         raise NotImplementedError(f"strategy {strategy}")
 
     model = make_model(argv.alg, cfg)
-    trainer = PGTrainer(cfg, model, env).setup(seed=argv.seed)
+    if jax.device_count() > 1:
+        # shard the env batch over every chip in the job (ICI/DCN
+        # collectives for the learner all-reduce); params replicated
+        from mapdn_tpu.parallel import ShardedPGTrainer
+        trainer = ShardedPGTrainer(cfg, model, env).setup(seed=argv.seed)
+    else:
+        trainer = PGTrainer(cfg, model, env).setup(seed=argv.seed)
     print(f"{cfg}\n")
-    print(f"devices: {jax.devices()}  n_envs={cfg.n_envs}")
+    print(f"devices: {jax.device_count()} ({jax.process_count()} processes) "
+          f"n_envs={cfg.n_envs}")
 
     t0 = time.time()
     for i in range(cfg.train_episodes_num):
         stat = trainer.run_episode()
         if i % cfg.eval_freq == cfg.eval_freq - 1 or i == 0:
             stat.update(trainer.evaluate())
+        if not is_main:
+            continue
         logger.log(stat, trainer.episodes)
         if i % cfg.save_model_freq == cfg.save_model_freq - 1:
             env_sps = (trainer.steps * cfg.n_envs) / (time.time() - t0)
@@ -118,7 +160,12 @@ def main():
             save_checkpoint(os.path.join(model_dir, "checkpoint"),
                             trainer.carry, trainer.steps, trainer.episodes)
             print("The model is saved!\n")
-    logger.close()
+    # every process prints this (replication check for multi-process tests)
+    leaves = jax.tree_util.tree_leaves(trainer.carry.algo.policy_params)
+    norm = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    print(f"final_policy_param_l1: {norm:.10e}", flush=True)
+    if logger is not None:
+        logger.close()
 
 
 if __name__ == "__main__":
