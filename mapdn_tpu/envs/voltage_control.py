@@ -141,6 +141,12 @@ class VoltageControlEnv:
             grid, tol=cfg.pf_tol, max_iter=cfg.pf_max_iter,
             backend=cfg.pf_backend, min_batch=cfg.pf_min_batch)
 
+        # line-vs-trafo branch mask for the reward's line-loss term
+        # (reference reads res_line only, voltage_control_env.py:599-600)
+        line_mask = np.asarray(grid.is_line, np.float64)
+        self._line_mask = jnp.asarray(line_mask, self.dtype)
+        self._n_lines = float(max(line_mask.sum(), 1.0))
+
         bus_zone = np.asarray(grid.bus_zone)
         sgen_zone = np.asarray(grid.sgen_zone)
         n_zone = grid.n_zone
@@ -414,8 +420,11 @@ class VoltageControlEnv:
         pct_out = (below + above) / n
         v_ref = 0.5 * (cfg.v_lower + cfg.v_upper)
 
-        line_loss = jnp.sum(pl_mw, axis=-1)
-        avg_line_loss = jnp.mean(pl_mw, axis=-1)
+        # the reference's line-loss terms read res_line only — trafo-branch
+        # losses are excluded (voltage_control_env.py:599-600); no-op for the
+        # built-in pure-line feeders, load-bearing for converted grids
+        line_loss = jnp.sum(pl_mw * self._line_mask, axis=-1)
+        avg_line_loss = line_loss / self._n_lines
         q_loss = jnp.mean(jnp.abs(sgen_q), axis=-1)
 
         v_loss = jnp.mean(self.barrier(v), axis=-1) * cfg.voltage_weight

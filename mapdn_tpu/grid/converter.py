@@ -47,6 +47,7 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
     zones = _zone_ids(net.bus.zone.loc[order].to_numpy())
 
     f_bus, t_bus, r_ohm, x_ohm, c_nf, max_i, tap = [], [], [], [], [], [], []
+    is_line = []
     for _, ln in net.line.iterrows():
         f_bus.append(pos[int(ln.from_bus)])
         t_bus.append(pos[int(ln.to_bus)])
@@ -57,6 +58,7 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
         c_nf.append(float(ln.c_nf_per_km) * length * par)
         max_i.append(float(ln.max_i_ka) * par)
         tap.append(1.0)
+        is_line.append(1.0)
 
     if getattr(net, "trafo", None) is not None and len(net.trafo):
         for _, tr in net.trafo.iterrows():
@@ -89,6 +91,9 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
             c_nf.append(0.0)
             max_i.append(float(tr.sn_mva) / (np.sqrt(3) * vn_lv))
             tap.append(ratio)
+            # trafo branch: excluded from the reward's line-loss term
+            # (reference reads res_line only, voltage_control_env.py:599-600)
+            is_line.append(0.0)
 
     load_bus = np.array([pos[int(b)] for b in net.load.bus], np.int32)
     load_p = net.load.p_mw.to_numpy(float)
@@ -105,7 +110,8 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
         x_ohm=np.array(x_ohm), c_nf=np.array(c_nf),
         max_i_ka=np.array(max_i), load_bus=load_bus, sgen_bus=sgen_bus,
         bus_zone=zones, sgen_zone=sgen_zone, slack_vm=vm_slack,
-        sn_mva=sn_mva, f_hz=f_hz, tap=np.array(tap), dtype=dtype)
+        sn_mva=sn_mva, f_hz=f_hz, tap=np.array(tap),
+        is_line=np.array(is_line), dtype=dtype)
     return grid, load_p, load_q, sgen_p
 
 

@@ -53,6 +53,11 @@ class Grid:
     br_b: jnp.ndarray           # (n_branch,) total charging susceptance [pu]
     tap: jnp.ndarray            # (n_branch,) off-nominal tap ratio (1.0 = line)
     max_i_ka: jnp.ndarray       # (n_branch,) thermal limit [kA] (for loading %)
+    # 1.0 for line branches, 0.0 for transformer branches: the reference's
+    # line-loss reward term reads res_line only — lines, NOT trafos
+    # (reference voltage_control_env.py:599-600) — so losses on trafo
+    # branches must be excluded from the reward/info line-loss sums
+    is_line: jnp.ndarray        # (n_branch,)
 
     # --- admittance matrix (dense, precomputed) -----------------------------
     g_mat: jnp.ndarray          # (n_bus, n_bus) Re(Ybus) [pu]
@@ -135,6 +140,7 @@ def make_grid(
     sn_mva=1.0,
     f_hz=50.0,
     tap=None,
+    is_line=None,
     dtype=jnp.float32,
 ):
     """Assemble a :class:`Grid` from physical-unit branch tables.
@@ -150,6 +156,8 @@ def make_grid(
     n_branch = len(f_bus)
     if tap is None:
         tap = np.ones(n_branch)
+    if is_line is None:
+        is_line = np.ones(n_branch)
 
     z_base = vn_kv[f_bus] ** 2 / sn_mva
     r_pu = np.asarray(r_ohm, np.float64) / z_base
@@ -201,6 +209,7 @@ def make_grid(
         br_b=a(b_pu),
         tap=a(tap),
         max_i_ka=a(max_i_ka),
+        is_line=a(is_line),
         g_mat=a(g_mat),
         b_mat=a(b_mat),
         j0_inv=a(j0_inv),

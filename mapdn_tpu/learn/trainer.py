@@ -383,7 +383,15 @@ class PGTrainer:
     # ------------------------------------------------------------- eval loop
     def _eval_rollout(self, algo: AlgoState, key):
         """num_eval_episodes greedy episodes, vectorized
-        (reference model.py:265-302)."""
+        (reference model.py:265-302).
+
+        Aggregation parity: the reference sums reward/info over each
+        episode's alive steps (terminal step included), divides by that
+        episode's own length (model.py:293-294 `/ float(t+1)`), THEN
+        averages the per-episode means over episodes (model.py:299-301).
+        With early destroys the two orders differ — a flat mean over all
+        alive samples would over-weight long-surviving episodes — so we
+        keep per-lane sums/counts and average per-episode means."""
         cfg = self.cfg
         n_eval = cfg.num_eval_episodes
         k_env, k_roll = jax.random.split(key)
@@ -403,8 +411,10 @@ class PGTrainer:
             stats = {"mean_test_reward": out.reward}
             for kk, v in out.info.items():
                 stats["mean_test_" + kk] = v
-            stats = {k2: jnp.sum(v * alive) for k2, v in stats.items()}
-            n_alive = jnp.sum(alive)
+            # per-lane masked samples (shape (n_eval,)); lanes past their
+            # terminal step contribute nothing, like the reference's break
+            stats = {k2: v * alive for k2, v in stats.items()}
+            n_alive = alive
             alive = alive * (1.0 - out.terminated.astype(alive.dtype))
             return (out.state, out.obs, hid2, alive), (stats, n_alive)
 
@@ -412,8 +422,11 @@ class PGTrainer:
         alive0 = jnp.ones(n_eval, obs.dtype)
         _, (stats, n_alive) = jax.lax.scan(
             step, (env_state, obs, last_hid, alive0), keys)
-        total = jnp.maximum(jnp.sum(n_alive), 1.0)
-        return {k: jnp.sum(v) / total for k, v in stats.items()}
+        # (T, n_eval) -> per-episode mean over that episode's own steps,
+        # then mean over episodes (reference's mean-of-means)
+        ep_len = jnp.maximum(jnp.sum(n_alive, axis=0), 1.0)
+        return {k: jnp.mean(jnp.sum(v, axis=0) / ep_len)
+                for k, v in stats.items()}
 
     # -------------------------------------------------------------- user API
     def run_episode(self) -> Dict[str, float]:

@@ -134,7 +134,7 @@ def _dot_fast(x, m):
 
 
 def _nr_kernel(spec_ref, v0_ref, ypack_ref, wpack_ref, rs_ref, mask_ref,
-               v_out, err_out, *, tol, max_iter, inner_iters, npad):
+               v_out, err_out, it_out, *, tol, max_iter, inner_iters, npad):
     """One batch tile.  Packed layout: every (tile, 2*npad) array is
     [real-half | imag-half]; ``spec`` holds [P_spec, Q_spec], ``v`` holds
     [e, f], currents hold [Ir, Ii], mismatch holds [fP, fQ], direction
@@ -187,10 +187,13 @@ def _nr_kernel(spec_ref, v0_ref, ypack_ref, wpack_ref, rs_ref, mask_ref,
         return jnp.logical_and(it < max_iter, alldone < 0.5)
 
     def body(c):
-        it, _, v, fvec, cur, err, done = c
+        it, _, v, fvec, cur, err, done, niter = c
         e, f = split(v)
         dth, dnu = newton_dir(fvec, v, cur)
         gate = 1.0 - done
+        # per-lane iteration telemetry: count each iteration the lane was
+        # still active (solver-health parity with the XLA path's n_iter)
+        niter2 = niter + gate
         # va update by dth, vm update by (1 + dnu), in rectangular form:
         # v' = vm (1+dnu) [cos(va+dth), sin(va+dth)]
         cos_d = jnp.cos(gate * dth)
@@ -205,14 +208,15 @@ def _nr_kernel(spec_ref, v0_ref, ypack_ref, wpack_ref, rs_ref, mask_ref,
         stop = jnp.logical_or(
             jnp.logical_or(~jnp.isfinite(err2), err2 < tol), vm2sq > 100.0)
         done2 = jnp.maximum(done, jnp.where(stop, 1.0, 0.0))
-        return it + 1, jnp.min(done2), v2, fvec2, cur2, err2, done2
+        return it + 1, jnp.min(done2), v2, fvec2, cur2, err2, done2, niter2
 
     out = jax.lax.while_loop(
         cond, body,
         (jnp.asarray(0, jnp.int32), jnp.min(done0), v0, fvec0, cur0,
-         err0, done0))
+         err0, done0, jnp.zeros_like(err0)))
     v_out[:] = out[2]
     err_out[:] = out[5]
+    it_out[:] = out[7]
 
 
 def nr_solve_pallas(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
@@ -264,12 +268,13 @@ def nr_solve_pallas(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
     espec = pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 
-    v, err = pl.pallas_call(
+    v, err, it = pl.pallas_call(
         kern,
         grid=(bpad // tile,),
         in_specs=[bspec, bspec, mspec, mspec, vspec, vspec],
-        out_specs=[bspec, espec],
+        out_specs=[bspec, espec, espec],
         out_shape=[jax.ShapeDtypeStruct((bpad, 2 * npad), dtype),
+                   jax.ShapeDtypeStruct((bpad, 1), dtype),
                    jax.ShapeDtypeStruct((bpad, 1), dtype)],
         interpret=interpret,
     )(spec, v0, ctx.ypack, ctx.wpack, ctx.rowsum, ctx.mask)
@@ -280,13 +285,16 @@ def nr_solve_pallas(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
     va = jnp.arctan2(f, e)
     err = err[:bsz, 0].reshape(batch_shape)
     converged = jnp.logical_and(err < tol, jnp.isfinite(err))
+    # per-lane iteration counts carried out of the kernel loop (the XLA
+    # path reports the slowest lane's loop count broadcast; here each lane
+    # reports the iterations it was itself active)
+    n_iter = it[:bsz, 0].reshape(batch_shape).astype(jnp.int32)
 
     p_bus, q_bus = bus_injections(grid, vm, va)
     pl_mw, loading = branch_results(grid, vm, va)
     return PFResult(
         vm=vm, va=va, p_bus=p_bus, q_bus=q_bus, pl_mw=pl_mw,
-        loading=loading, converged=converged,
-        n_iter=jnp.zeros(batch_shape, jnp.int32))
+        loading=loading, converged=converged, n_iter=n_iter)
 
 
 def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",

@@ -9,6 +9,7 @@ a light weights-only export mirrors the reference's model.pt role.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any
 
 import jax
@@ -28,27 +29,59 @@ def _drop_empty(tree):
         if getattr(x, "size", 1) == 0 else x, tree)
 
 
-def save_checkpoint(path: str, carry, steps: int, episodes: int):
-    """Full training-state checkpoint (resumable)."""
+def _generations(path):
+    """Sorted generation subdirectories under a checkpoint directory."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(d for d in os.listdir(path) if d.startswith("ckpt_"))
+
+
+def save_checkpoint(path: str, carry, steps: int, episodes: int, *, keep=2):
+    """Full training-state checkpoint (resumable).
+
+    ``path`` is a directory of GENERATIONS: each save writes a fresh
+    ``ckpt_<episodes>`` subdir and only then prunes down to the newest
+    ``keep`` — a crash mid-write can never lose the previous good
+    generation (the reference's single rolling ``model.pt``,
+    train.py:117-119, has no such protection)."""
     path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    dest = os.path.join(path, f"ckpt_{episodes:08d}")
     ckptr = ocp.PyTreeCheckpointer()
     payload = {
         "carry": _drop_empty(carry),
         "meta": {"steps": steps, "episodes": episodes},
     }
-    ckptr.save(path, payload, force=True)
+    ckptr.save(dest, payload, force=True)
+    for d in _generations(path)[:-keep]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def restore_checkpoint(path: str, example_carry):
     """Restore into the structure of ``example_carry``; returns
-    (carry, steps, episodes)."""
+    (carry, steps, episodes).
+
+    ``path`` may be a generations directory (newest valid generation wins,
+    falling back to older ones if the newest is corrupt) or a direct
+    single-checkpoint directory."""
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     example = {
         "carry": _drop_empty(example_carry),
         "meta": {"steps": 0, "episodes": 0},
     }
-    payload = ckptr.restore(path, item=example)
+    gens = _generations(path)
+    candidates = [os.path.join(path, g) for g in reversed(gens)] or [path]
+    err = None
+    for cand in candidates:
+        try:
+            payload = ckptr.restore(cand, item=example)
+            break
+        except Exception as e:  # corrupt/partial generation: try older
+            err = e
+    else:
+        raise FileNotFoundError(
+            f"no restorable checkpoint under {path}") from err
     carry = jax.tree_util.tree_map(
         lambda ex, loaded: ex if getattr(ex, "size", 1) == 0 else loaded,
         example_carry, payload["carry"])

@@ -203,3 +203,30 @@ def test_golden_fixture_import_and_solve_parity():
 def test_load_pickle_without_pandapower_raises_helpfully():
     with pytest.raises(ImportError, match="pandapower"):
         load_pickle("/nonexistent/model.p")
+
+
+def test_reward_line_loss_excludes_trafo_branches():
+    """The reference's line-loss reward/info term reads res_line only —
+    lines, not trafos (reference voltage_control_env.py:599-600).  On the
+    imported grid (3 lines + 1 trafo) the env's total_line_loss must equal
+    the sum of the LINE branch losses, strictly below the all-branch sum."""
+    from mapdn_tpu.envs.timeseries import synthetic_dataset
+    from mapdn_tpu.envs.voltage_control import EnvConfig, VoltageControlEnv
+
+    net = make_mock_net()
+    grid, load_p, load_q, sgen_p = from_pandapower(net, dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(grid.is_line), [1, 1, 1, 0])
+
+    ts = synthetic_dataset(load_p, load_q, sgen_p, days=2, seed=0,
+                           dtype=jnp.float64)
+    env = VoltageControlEnv(grid, ts, EnvConfig(episode_limit=8))
+
+    state, obs, _ = env.manual_reset(0, 12, 0)
+    out = env.step(state, jnp.zeros(grid.n_sgen, jnp.float64),
+                   jax.random.PRNGKey(0), add_noise=False)
+
+    pl = np.asarray(out.state.pl_mw)
+    assert pl.shape == (4,) and pl[3] > 0.0  # the trafo branch has loss
+    got = float(out.info["total_line_loss"])
+    np.testing.assert_allclose(got, pl[:3].sum(), rtol=1e-9)
+    assert got < pl.sum() - 1e-12

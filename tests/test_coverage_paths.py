@@ -134,3 +134,67 @@ def test_rollout_values_all_matches_per_step():
         [trainer._rollout_value(algo, states[i], None) for i in range(t)])
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(stepwise), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------- eval aggregation (weighting)
+def test_eval_rollout_is_mean_of_per_episode_means():
+    """Reference evaluation parity (model.py:281-301): each episode's stats
+    are averaged over ITS OWN length (`/ float(t+1)`), then averaged over
+    episodes.  With mid-rollout terminations of different lengths this
+    differs from a flat alive-step-weighted mean — pin the mean-of-means."""
+    from mapdn_tpu.envs.voltage_control import StepOutput
+
+    n_agents, obs_size, n_eval, max_steps = 3, 4, 6, 8
+    cfg, _ = load_config("iddpg")
+    cfg = cfg.replace(agent_num=n_agents, obs_size=obs_size, action_dim=1,
+                      hid_size=8, num_eval_episodes=n_eval,
+                      max_steps=max_steps, n_envs=2)
+
+    class FakeEnv:
+        """Episode i: constant reward v_i, length L_i = 2 + floor(4 v_i)
+        (v_i drawn from the reset key) — reward and length correlate, so
+        flat and per-episode weighting disagree."""
+        avail_actions = jnp.ones((n_agents, 1), jnp.float32)
+
+        def reset(self, key):
+            v = jax.random.uniform(key, dtype=jnp.float32)
+            state = {"v": v, "t": jnp.asarray(0, jnp.int32)}
+            return state, jnp.zeros((n_agents, obs_size), jnp.float32), v
+
+        def translate_actions(self, a):
+            return a
+
+        def step(self, state, actions, key):
+            t = state["t"] + 1
+            length = 2 + jnp.floor(state["v"] * 4.0).astype(jnp.int32)
+            return StepOutput(
+                state={"v": state["v"], "t": t},
+                obs=jnp.zeros((n_agents, obs_size), jnp.float32),
+                global_state=state["v"],
+                reward=state["v"],
+                terminated=t >= length,
+                info={"metric": 2.0 * state["v"]})
+
+    model = make_model("iddpg", cfg)
+    trainer = PGTrainer(cfg, model, FakeEnv())
+    algo = model.init_state(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(42)
+    stats = jax.jit(trainer._eval_rollout)(algo, key)
+
+    # hand-rolled expectation from the same key derivation _eval_rollout uses
+    k_env, _ = jax.random.split(key)
+    env_keys = jax.random.split(k_env, n_eval)
+    v = np.asarray(jax.vmap(
+        lambda k: jax.random.uniform(k, dtype=jnp.float32))(env_keys))
+    lengths = 2 + np.floor(v * 4.0).astype(int)
+    assert len(set(lengths.tolist())) > 1, "need varying episode lengths"
+
+    mean_of_means = v.mean()                       # reference semantics
+    flat = (v * lengths).sum() / lengths.sum()     # the wrong weighting
+    assert abs(mean_of_means - flat) > 1e-3, "degenerate draw; pick new key"
+
+    np.testing.assert_allclose(float(stats["mean_test_reward"]),
+                               mean_of_means, rtol=1e-5)
+    np.testing.assert_allclose(float(stats["mean_test_metric"]),
+                               2.0 * mean_of_means, rtol=1e-5)

@@ -175,3 +175,65 @@ def test_destroy_semantics():
     assert float(out.reward) < -150.0
     # rollback: voltages kept from the pre-action state
     np.testing.assert_array_equal(np.asarray(out.state.vm), np.asarray(state.vm))
+
+
+# ------------------------------------------------- golden trajectory pin
+def test_golden_trajectory_replay():
+    """Full-env semantics pin: a committed 48-step fixed-day no-noise
+    manual_reset replay (float64 oracle path, scripts/make_golden_trajectory
+    .py) must be reproduced exactly by the f64 path and within f32 rounding
+    by the production dtype — the strongest available analog of validating
+    against the reference's pickled telemetry (reference tester.py:19-63)
+    in an environment without pandapower."""
+    import json
+    import os
+
+    from mapdn_tpu.envs import EnvConfig, make_env
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "golden_trajectory.json")
+    with open(path) as f:
+        gold = json.load(f)
+    actions = np.asarray(gold["actions"])
+
+    for dtype, rtol, atol in [(jnp.float64, 1e-9, 1e-10),
+                              (jnp.float32, 2e-3, 2e-4)]:
+        env = make_env("case33",
+                       EnvConfig(episode_limit=240, reset_action=False),
+                       days=8, seed=0, dtype=dtype)
+        state, obs, gs = env.manual_reset(gold["day"], gold["hour"],
+                                          gold["quarter"])
+        np.testing.assert_allclose(np.asarray(obs), gold["obs0"],
+                                   rtol=rtol, atol=atol)
+        np.testing.assert_allclose(np.asarray(gs), gold["state0"],
+                                   rtol=rtol, atol=atol)
+
+        step = jax.jit(env.step, static_argnames=("add_noise",))
+        for t in range(gold["n_steps"]):
+            out = step(state, jnp.asarray(actions[t], dtype),
+                       jax.random.PRNGKey(0), add_noise=False)
+            state = out.state
+            assert not bool(out.terminated)
+            msg = f"dtype={dtype.__name__} step={t}"
+            np.testing.assert_allclose(
+                float(out.reward), gold["rewards"][t], rtol=rtol,
+                atol=atol, err_msg=msg)
+            np.testing.assert_allclose(
+                np.asarray(out.state.vm), gold["vm"][t], rtol=rtol,
+                atol=atol, err_msg=msg)
+            np.testing.assert_allclose(
+                np.asarray(out.obs), gold["obs"][t], rtol=rtol,
+                atol=5e-4 if dtype == jnp.float32 else atol, err_msg=msg)
+            np.testing.assert_allclose(
+                np.asarray(out.global_state), gold["states"][t],
+                rtol=rtol, atol=5e-4 if dtype == jnp.float32 else atol,
+                err_msg=msg)
+            np.testing.assert_allclose(
+                float(out.info["total_line_loss"]),
+                gold["info_total_line_loss"][t], rtol=rtol,
+                atol=1e-3 if dtype == jnp.float32 else atol, err_msg=msg)
+            np.testing.assert_allclose(
+                float(out.info["q_loss"]), gold["info_q_loss"][t],
+                rtol=rtol, atol=atol, err_msg=msg)
+            assert (float(out.info["percentage_of_v_out_of_control"])
+                    == pytest.approx(gold["info_pct_out"][t], abs=1e-6)), msg

@@ -75,3 +75,27 @@ def test_auto_solver_dispatches_under_vmap():
     ref = nr_solve(grid, pb, qb)
     assert res.vm.shape == (8, n)
     np.testing.assert_allclose(res.vm, ref.vm, atol=1e-6)
+
+
+def test_pallas_n_iter_telemetry_matches_xla():
+    """The kernel carries a per-lane active-iteration counter out through an
+    output ref (solver-health telemetry previously lost on the Pallas path).
+    Per lane n_iter must be positive and <= max_iter; the slowest lane must
+    agree with the XLA path's broadcast loop count to within 1 iteration
+    (step directions differ only by matmul precision)."""
+    grid, pb, qb = _case_injections("case33", 8)
+    ref = nr_solve(grid, pb, qb)
+    out = nr_solve_pallas(grid, pb, qb, interpret=True)
+    assert bool(out.converged.all())
+
+    it = np.asarray(out.n_iter)
+    assert it.shape == (8,)
+    assert np.all(it >= 1) and np.all(it <= 20)
+    # lanes at different loading converge in different iteration counts
+    # only the slowest lane is comparable to the XLA scalar; allow +-1
+    assert abs(int(it.max()) - int(np.asarray(ref.n_iter).max())) <= 1
+
+    # warm start from the solution: every lane converges immediately
+    warm = nr_solve_pallas(grid, pb, qb, interpret=True,
+                           vm0=out.vm, va0=out.va)
+    assert int(np.asarray(warm.n_iter).max()) <= 1

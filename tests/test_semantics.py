@@ -304,3 +304,115 @@ def test_ppo_gae_value_target_wiring():
     target = np.asarray(adv).reshape(-1, n)
     want = cfg.value_loss_coef * np.mean(target**2)
     np.testing.assert_allclose(float(vl), want, rtol=1e-5)
+
+
+# --------------------------------------------------- discrete action utils
+class _DiscreteCfg:
+    """Minimal config shim for the discrete selection branches
+    (reference util.py:87-121 reads epsilon_softmax/gumbel_softmax flags)."""
+    def __init__(self, epsilon_softmax=False, gumbel_softmax=False,
+                 softmax_eps=0.1):
+        self.epsilon_softmax = epsilon_softmax
+        self.gumbel_softmax = gumbel_softmax
+        self.softmax_eps = softmax_eps
+
+
+def test_multinomials_log_density_matches_closed_form():
+    """For a hard one-hot, sum_i a_i log p_i is exactly log softmax(logits)
+    at the chosen index (torch OneHotCategorical.log_prob semantics the
+    reference relies on, util.py:47-50)."""
+    from mapdn_tpu.learn.sampling import multinomials_log_density
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    idx = jnp.asarray([0, 3, 5, 2])
+    onehot = jax.nn.one_hot(idx, 6, dtype=jnp.float32)
+    got = np.asarray(multinomials_log_density(onehot, logits))[:, 0]
+
+    p = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    want = p[np.arange(4), np.asarray(idx)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # relaxed (simplex) samples: density is the convex combination of logps
+    relaxed = jnp.asarray([[0.5, 0.5, 0, 0, 0, 0]], jnp.float32)
+    got_r = float(multinomials_log_density(relaxed, logits[:1])[0, 0])
+    np.testing.assert_allclose(got_r, 0.5 * p[0, 0] + 0.5 * p[0, 1],
+                               rtol=1e-6)
+
+
+def test_select_action_discrete_test_mode_greedy():
+    from mapdn_tpu.learn.sampling import select_action_discrete
+
+    logits = jnp.asarray([[0.1, 2.0, -1.0], [3.0, 0.0, 0.5]], jnp.float32)
+    actions, logp = select_action_discrete(
+        _DiscreteCfg(), jax.random.PRNGKey(0), logits, status="test")
+    assert logp is None
+    np.testing.assert_array_equal(np.asarray(actions),
+                                  [[0, 1, 0], [1, 0, 0]])
+
+
+def test_select_action_discrete_epsilon_softmax_distribution():
+    """epsilon-softmax sampling (reference util.py:89-96): empirical
+    frequencies must match (1-eps)*softmax + eps/n, and log_prob must be the
+    log of that smoothed distribution at the drawn index."""
+    from mapdn_tpu.learn.sampling import select_action_discrete
+
+    cfg = _DiscreteCfg(epsilon_softmax=True, softmax_eps=0.2)
+    logits = jnp.asarray([[1.0, 0.0, -1.0]], jnp.float32)
+    n_samp = 4000
+    keys = jax.random.split(jax.random.PRNGKey(1), n_samp)
+    sample = jax.jit(lambda k: select_action_discrete(
+        cfg, k, logits, status="train", exploration=True))
+    acts = np.stack([np.asarray(sample(k)[0][0]) for k in keys])
+    freq = acts.mean(axis=0)
+    probs = 0.8 * np.asarray(jax.nn.softmax(logits, -1))[0] + 0.2 / 3
+    np.testing.assert_allclose(freq, probs, atol=0.03)
+
+    a0, lp0 = sample(keys[0])
+    idx = int(np.argmax(np.asarray(a0)[0]))
+    np.testing.assert_allclose(float(lp0[0, 0]), np.log(probs[idx]),
+                               rtol=1e-5)
+
+
+def test_select_action_discrete_gumbel_paths():
+    """gumbel_softmax branch: exploration returns a differentiable simplex
+    point; no-exploration returns a detached T=1 sample (reference
+    util.py:97-113)."""
+    from mapdn_tpu.learn.sampling import select_action_discrete
+
+    cfg = _DiscreteCfg(gumbel_softmax=True)
+    logits = jnp.asarray([[1.0, 0.0, -0.5]], jnp.float32)
+
+    a, lp = select_action_discrete(cfg, jax.random.PRNGKey(2), logits,
+                                   status="train", exploration=True)
+    np.testing.assert_allclose(float(jnp.sum(a)), 1.0, rtol=1e-5)
+    assert lp.shape == (1, 1)
+
+    # exploration path is differentiable w.r.t. logits (rsample)
+    g = jax.grad(lambda lg: jnp.sum(select_action_discrete(
+        cfg, jax.random.PRNGKey(2), lg, status="train",
+        exploration=True)[0] ** 2))(logits)
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+    # no-exploration path is detached (stop_gradient)
+    g2 = jax.grad(lambda lg: jnp.sum(select_action_discrete(
+        cfg, jax.random.PRNGKey(2), lg, status="train",
+        exploration=False)[0] ** 2))(logits)
+    np.testing.assert_allclose(np.asarray(g2), 0.0, atol=1e-12)
+
+
+def test_select_action_discrete_plain_categorical():
+    """Default branch: plain categorical one-hot whose empirical law matches
+    softmax(logits) (reference util.py:114-121)."""
+    from mapdn_tpu.learn.sampling import select_action_discrete
+
+    cfg = _DiscreteCfg()
+    logits = jnp.asarray([[0.5, -0.5, 1.5]], jnp.float32)
+    n_samp = 4000
+    keys = jax.random.split(jax.random.PRNGKey(3), n_samp)
+    sample = jax.jit(lambda k: select_action_discrete(
+        cfg, k, logits, status="train", exploration=True))
+    acts = np.stack([np.asarray(sample(k)[0][0]) for k in keys])
+    np.testing.assert_allclose(acts.mean(axis=0),
+                               np.asarray(jax.nn.softmax(logits, -1))[0],
+                               atol=0.03)

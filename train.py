@@ -73,10 +73,21 @@ def main():
                              "multi-process tests)")
     parser.add_argument("--max-steps", type=int, default=None,
                         help="override episode length (smoke tests)")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore the newest checkpoint generation under "
+                             "the run's model dir and continue training")
     argv = parser.parse_args()
 
     if argv.platform:
         jax.config.update("jax_platforms", argv.platform)
+    # persistent XLA compile cache, opt-in: repeated same-shape runs skip the
+    # first-compile of the fused chunk.  NOT enabled by default — the
+    # tunneled TPU backend in this environment deadlocks when the cache is
+    # active (verified empirically), and plain runs only pay ~2min once.
+    cache_dir = os.environ.get("MAPDN_JAX_CACHE", "")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if argv.distributed:
         kw = {}
         if argv.coordinator is not None:
@@ -91,7 +102,8 @@ def main():
     from mapdn_tpu.algos import STRATEGY_REGISTRY, make_model
     from mapdn_tpu.envs import make_env
     from mapdn_tpu.learn.trainer import PGTrainer
-    from mapdn_tpu.utils.checkpoint import save_checkpoint, save_model
+    from mapdn_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint, save_model)
     from mapdn_tpu.utils.config import load_config
     from mapdn_tpu.utils.logging import MetricsLogger
 
@@ -142,8 +154,23 @@ def main():
     print(f"devices: {jax.device_count()} ({jax.process_count()} processes) "
           f"n_envs={cfg.n_envs}")
 
+    ckpt_dir = os.path.join(model_dir, "checkpoint")
+    start_episode = 0
+    if argv.resume:
+        # full-state resume: params, targets, optimizer/replay/env state and
+        # RNG all live in the carry, so a restored run continues the exact
+        # stat stream of the interrupted one (no reference analog: its
+        # model.pt holds net weights only, reference train.py:117-119)
+        carry, steps, episodes = restore_checkpoint(ckpt_dir, trainer.carry)
+        trainer.carry, trainer.steps, trainer.episodes = (
+            carry, steps, episodes)
+        start_episode = episodes
+        print(f"resumed from {ckpt_dir} at episode {episodes} "
+              f"({steps} env steps)")
+
     t0 = time.time()
-    for i in range(cfg.train_episodes_num):
+    steps0 = trainer.steps
+    for i in range(start_episode, cfg.train_episodes_num):
         stat = trainer.run_episode()
         if i % cfg.eval_freq == cfg.eval_freq - 1 or i == 0:
             stat.update(trainer.evaluate())
@@ -151,14 +178,14 @@ def main():
             continue
         logger.log(stat, trainer.episodes)
         if i % cfg.save_model_freq == cfg.save_model_freq - 1:
-            env_sps = (trainer.steps * cfg.n_envs) / (time.time() - t0)
+            env_sps = ((trainer.steps - steps0) * cfg.n_envs) / (time.time() - t0)
             print(f"\nEpisode: {trainer.episodes}  "
                   f"({env_sps:,.0f} env-steps/s aggregate)")
             for k, v in sorted(stat.items()):
                 print(f"{k}: {v:2.4f}")
             save_model(os.path.join(model_dir, "model.pt"), trainer.carry.algo)
-            save_checkpoint(os.path.join(model_dir, "checkpoint"),
-                            trainer.carry, trainer.steps, trainer.episodes)
+            save_checkpoint(ckpt_dir, trainer.carry, trainer.steps,
+                            trainer.episodes)
             print("The model is saved!\n")
     # every process prints this (replication check for multi-process tests)
     leaves = jax.tree_util.tree_leaves(trainer.carry.algo.policy_params)
