@@ -67,6 +67,13 @@ class PGTrainer:
         self._jit_eval = jax.jit(self._eval_rollout)
         self._jit_soft_update = jax.jit(self._soft_update)
         self._jit_episodic_update = jax.jit(self._episodic_update)
+        # fuse ALL of an episode's chunks (incl. the in-between target
+        # updates) into one jitted call: per-dispatch host latency is the
+        # dominant cost of a 512-lane training episode on a tunneled TPU
+        # (4 chunk dispatches -> 1).  ShardedPGTrainer opts out (its
+        # sharded per-chunk jit carries explicit in/out shardings).
+        self._fuse_episode = not cfg.episodic
+        self._jit_episode = jax.jit(self._train_episode, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ init
     def init_carry(self, key) -> TrainerCarry:
@@ -380,6 +387,32 @@ class PGTrainer:
         carry = carry.replace(algo=algo, replay=replay)
         return carry, {**roll_stats, **upd_stats}
 
+    def _train_episode(self, carry: TrainerCarry):
+        """One full training episode = `_chunks_per_episode` train chunks +
+        boundary-crossing target updates, as a single XLA program.
+
+        Semantics identical to the python per-chunk loop in
+        :meth:`run_episode`: after each chunk, the soft target update fires
+        iff the chunk crossed a target_update_freq boundary (the same
+        steps//freq comparison, evaluated in-graph on the carried step
+        counter)."""
+        cfg = self.cfg
+
+        def chunk_step(carry, _):
+            prev_steps = carry.steps
+            carry, stats = self._train_chunk(carry)
+            if cfg.target:
+                crossed = (carry.steps // cfg.target_update_freq
+                           > prev_steps // cfg.target_update_freq)
+                algo = jax.lax.cond(
+                    crossed, self._soft_update, lambda a: a, carry.algo)
+                carry = carry.replace(algo=algo)
+            return carry, stats
+
+        carry, stats = jax.lax.scan(
+            chunk_step, carry, None, length=self._chunks_per_episode)
+        return carry, jax.tree_util.tree_map(jnp.mean, stats)
+
     # ------------------------------------------------------------- eval loop
     def _eval_rollout(self, algo: AlgoState, key):
         """num_eval_episodes greedy episodes, vectorized
@@ -439,19 +472,25 @@ class PGTrainer:
         EPISODES (reference model.py:39-96)."""
         cfg = self.cfg
         stats_acc = []
-        for _ in range(self._chunks_per_episode):
-            self.carry, stats = self._jit_chunk(self.carry)
-            prev_steps = self.steps
-            self.steps += self._chunk_len
-            # fire on every target_update_freq boundary the chunk crossed —
-            # exact divisibility would silently never update when the chunk
-            # length doesn't divide the freq (e.g. freq=100, chunk=60)
-            if not cfg.episodic and cfg.target and (
-                    self.steps // cfg.target_update_freq
-                    > prev_steps // cfg.target_update_freq):
-                self.carry = self.carry.replace(
-                    algo=self._jit_soft_update(self.carry.algo))
+        if self._fuse_episode:
+            self.carry, stats = self._jit_episode(self.carry)
+            self.steps += self._chunk_len * self._chunks_per_episode
             stats_acc.append(stats)
+        else:
+            for _ in range(self._chunks_per_episode):
+                self.carry, stats = self._jit_chunk(self.carry)
+                prev_steps = self.steps
+                self.steps += self._chunk_len
+                # fire on every target_update_freq boundary the chunk
+                # crossed — exact divisibility would silently never update
+                # when the chunk length doesn't divide the freq
+                # (e.g. freq=100, chunk=60)
+                if not cfg.episodic and cfg.target and (
+                        self.steps // cfg.target_update_freq
+                        > prev_steps // cfg.target_update_freq):
+                    self.carry = self.carry.replace(
+                        algo=self._jit_soft_update(self.carry.algo))
+                stats_acc.append(stats)
         self.episodes += 1
         if cfg.episodic:
             if self.episodes % cfg.behaviour_update_freq == 0:

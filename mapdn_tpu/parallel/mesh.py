@@ -87,6 +87,8 @@ class ShardedPGTrainer(PGTrainer):
 
     def __init__(self, cfg, model, env, mesh=None):
         super().__init__(cfg, model, env)
+        # sharded path drives the per-chunk jit (explicit in/out shardings)
+        self._fuse_episode = False
         self.mesh = mesh or make_env_mesh()
         n_dev = len(self.mesh.devices.reshape(-1))
         if cfg.n_envs % n_dev != 0:

@@ -7,6 +7,10 @@ exercises the Pallas npad=384 kernel tile through the env's auto-dispatch.
 
 Usage: python scripts/bench_cases.py [out.json]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

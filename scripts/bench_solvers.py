@@ -2,6 +2,10 @@
 
 Usage: python scripts/bench_solvers.py [case] [n_envs]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

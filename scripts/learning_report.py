@@ -1,11 +1,19 @@
-"""Summarize committed learning curves + compute the random-action baseline.
+"""Summarize committed learning curves + compute comparison baselines.
 
 Produces artifacts/learning/summary.json consumed by tests/test_learning.py:
-for each trained run (artifacts/learning/<alg>/tensorboard/*/metrics.jsonl)
-the eval-curve milestones, plus a uniform-random-policy baseline evaluated on
-the identical env build (case33 synthetic dataset, same seed/days as
-train.py defaults) — the role the reference's RandomAgent plays
-(reference models/random.py:7-18).
+for each trained run (artifacts/learning/<run>/metrics.jsonl, written by
+scripts/train_zoo.py) the eval-curve milestones, plus:
+
+* a uniform-random-policy baseline evaluated on the identical env build —
+  the role the reference's RandomAgent plays (reference models/random.py:
+  7-18) — with the same per-episode mean-of-means weighting as the
+  trainer's evaluation (reference models/model.py:281-301);
+* droop and OPF engineering baselines (mapdn_tpu.traditional — the TPU
+  redesign of the reference's Matlab traditional_control/*.m) over sampled
+  operating points, contextualizing controller quality.
+
+Run names: '<alg>' = case33 distributed; '<alg>_decentralised' = case33
+decentralised; '<alg>_case322' = case322 distributed.
 
 Runs on CPU so it never contends with TPU training jobs.
 Usage: python scripts/learning_report.py
@@ -22,18 +30,23 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "learning")
 
 
-def random_baseline(n_episodes=256, max_steps=240, seed=7):
-    """Uniform-random actions, vectorized episodes; mirrors the env build in
-    train.py (--scenario case33_3min_final, synthetic days=40)."""
+def _build_env(case):
     from mapdn_tpu.envs import EnvConfig, make_env
 
-    env = make_env("case33", EnvConfig(episode_limit=max_steps), days=40,
-                   seed=seed, dtype=jnp.float32)
+    return make_env(case, EnvConfig(episode_limit=240), days=40, seed=7,
+                    dtype=jnp.float32)
+
+
+def random_baseline(case="case33", n_episodes=256, max_steps=240, seed=7):
+    """Uniform-random actions, vectorized episodes; mirrors the env build in
+    train.py and the trainer's per-episode mean-of-means eval weighting."""
+    env = _build_env(case)
 
     def rollout(key):
         k_env, k_roll = jax.random.split(key)
@@ -48,21 +61,55 @@ def random_baseline(n_episodes=256, max_steps=240, seed=7):
                 env.action_low, env.action_high)
             keys = jax.random.split(k_step, n_episodes)
             out = jax.vmap(env.step)(state, a, keys)
-            stats = {k2: jnp.sum(v * alive) for k2, v in out.info.items()}
-            stats["reward"] = jnp.sum(out.reward * alive)
-            n_alive = jnp.sum(alive)
+            stats = {k2: v * alive for k2, v in out.info.items()}
+            stats["reward"] = out.reward * alive
+            n_alive = alive
             alive = alive * (1.0 - out.terminated.astype(alive.dtype))
             return (out.state, alive), (stats, n_alive)
 
         keys = jax.random.split(k_roll, max_steps)
         _, (stats, n_alive) = jax.lax.scan(
             step, (state, jnp.ones(n_episodes, jnp.float32)), keys)
-        total = jnp.maximum(jnp.sum(n_alive), 1.0)
-        return {k: jnp.sum(v) / total for k, v in stats.items()}
+        ep_len = jnp.maximum(jnp.sum(n_alive, axis=0), 1.0)
+        return {k: jnp.mean(jnp.sum(v, axis=0) / ep_len)
+                for k, v in stats.items()}
 
     stats = jax.jit(rollout)(jax.random.PRNGKey(seed))
     return {"mean_test_" + k if k != "reward" else "mean_test_reward":
             float(v) for k, v in stats.items()}
+
+
+def engineering_baselines(case="case33", n_samples=512, seed=7):
+    """Droop + OPF dispatch metrics over sampled dataset rows (quasi-static
+    operating points, no noise) — per-step engineering context for the RL
+    metrics (the role of reference traditional_control/*.m)."""
+    from mapdn_tpu.traditional.droop import droop_solve
+    from mapdn_tpu.traditional.opf import opf_solve
+
+    env = _build_env(case)
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, env.ts.n_steps, size=n_samples)
+    load_p = env.ts.load_p[rows]
+    load_q = env.ts.load_q[rows]
+    pv_p = env.ts.pv[rows]
+
+    out = {}
+    for name, solver in (("droop_baseline", droop_solve),
+                         ("opf_baseline", opf_solve)):
+        def run(lp, lq, pv):
+            q, res, _ = solver(env, lp, lq, pv)
+            reward, info = env._calc_reward(res.vm, res.pl_mw, q)
+            info["reward"] = reward
+            info["converged"] = res.converged.astype(res.vm.dtype)
+            return info
+
+        info = jax.jit(run)(load_p, load_q, pv_p)
+        ok = np.asarray(info.pop("converged")) > 0
+        out[name] = {
+            ("mean_test_" + k if k != "reward" else "mean_test_reward"):
+                float(np.mean(np.asarray(v)[ok])) for k, v in info.items()}
+        out[name]["n_samples"] = int(ok.sum())
+    return out
 
 
 def curve_summary(path):
@@ -94,15 +141,28 @@ def curve_summary(path):
 
 
 def main():
-    out = {"random_baseline": random_baseline()}
-    for path in sorted(glob.glob(os.path.join(
-            ART, "*", "tensorboard", "*", "metrics.jsonl"))):
-        alg = path[len(ART) + 1:].split(os.sep)[0]
+    runs = {}
+    cases_needed = {"case33"}
+    for path in sorted(glob.glob(os.path.join(ART, "*", "metrics.jsonl"))):
+        name = os.path.basename(os.path.dirname(path))
         s = curve_summary(path)
         if s:
             s["metrics_path"] = os.path.relpath(
                 path, os.path.dirname(os.path.dirname(ART)))
-            out[alg] = s
+            runs[name] = s
+            if name.endswith("_case322"):
+                cases_needed.add("case322")
+
+    out = {}
+    for case in sorted(cases_needed):
+        key = "random_baseline" if case == "case33" else (
+            "random_baseline_" + case)
+        print(f"computing {key}...", flush=True)
+        out[key] = random_baseline(case)
+    print("computing droop/opf baselines...", flush=True)
+    out.update(engineering_baselines("case33"))
+    out.update(runs)
+
     dest = os.path.join(ART, "summary.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)

@@ -11,6 +11,10 @@ the time, not a marketing number.
 
 Usage: python scripts/profile_chunk.py [n_envs] [out.json]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

@@ -198,3 +198,29 @@ def test_eval_rollout_is_mean_of_per_episode_means():
                                mean_of_means, rtol=1e-5)
     np.testing.assert_allclose(float(stats["mean_test_metric"]),
                                2.0 * mean_of_means, rtol=1e-5)
+
+
+# ---------------------------------------------------- fused-episode parity
+def test_fused_episode_matches_per_chunk_loop():
+    """run_episode's single-dispatch fused path (scan over chunks with
+    in-graph boundary-crossing target updates) must reproduce the python
+    per-chunk loop: same step counters and numerically identical training
+    state after episodes that cross a target_update_freq boundary."""
+    # default small config: chunk=4, target_update_freq=8 -> the boundary
+    # crossing fires after the 2nd chunk of each episode
+    tr_a, cfg = small_trainer("matd3")
+    tr_b, _ = small_trainer("matd3")
+    assert tr_a._fuse_episode
+    tr_b._fuse_episode = False
+
+    for _ in range(2):
+        sa = tr_a.run_episode()
+        sb = tr_b.run_episode()
+    assert tr_a.steps == tr_b.steps and tr_a.episodes == tr_b.episodes
+    assert abs(sa["mean_train_reward"] - sb["mean_train_reward"]) < 1e-5
+
+    la = jax.tree_util.tree_leaves(tr_a.carry.algo)
+    lb = jax.tree_util.tree_leaves(tr_b.carry.algo)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
