@@ -63,6 +63,13 @@ class PGTester:
         """Aggregate info metrics over random episodes
         (reference tester.py:65-99): {metric: (mean, 2*std)}.
 
+        Aggregation parity note: unlike Model.evaluation (per-episode
+        means averaged over episodes, model.py:281-301 — see
+        trainer._eval_rollout), the reference's batch_run appends every
+        step's info value of every episode into ONE flat list and takes
+        mean/std over all samples (tester.py:84-97) — a flat
+        alive-step-weighted mean.  This method reproduces exactly that.
+
         All episodes run as vmapped lanes inside ONE jitted scan (the
         reference loops Python episodes x steps with a fresh forward per
         step, tester.py:73-96); per-step info samples after a lane

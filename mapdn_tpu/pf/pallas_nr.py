@@ -268,6 +268,15 @@ def nr_solve_pallas(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
     espec = pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 
+    # scoped-VMEM budget: Mosaic's default 16MB cap under-provisions the
+    # npad=384 (case322) tile — the two packed (2*npad, 2*npad) matrices
+    # alone are 2x2.36MB and stream double-buffered.  Budget them plus the
+    # ~16 live (tile, 2*npad) loop arrays with headroom, capped well under
+    # the chip's 128MB VMEM.
+    mat_bytes = 2 * (2 * npad) * (2 * npad) * 4
+    live_bytes = 24 * tile * (2 * npad) * 4
+    vmem_limit = min(2 * mat_bytes + live_bytes + (8 << 20), 100 << 20)
+
     v, err, it = pl.pallas_call(
         kern,
         grid=(bpad // tile,),
@@ -276,6 +285,8 @@ def nr_solve_pallas(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
         out_shape=[jax.ShapeDtypeStruct((bpad, 2 * npad), dtype),
                    jax.ShapeDtypeStruct((bpad, 1), dtype),
                    jax.ShapeDtypeStruct((bpad, 1), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
         interpret=interpret,
     )(spec, v0, ctx.ypack, ctx.wpack, ctx.rowsum, ctx.mask)
 

@@ -79,7 +79,7 @@ def random_baseline(case="case33", n_episodes=256, max_steps=240, seed=7):
             float(v) for k, v in stats.items()}
 
 
-def engineering_baselines(case="case33", n_samples=512, seed=7):
+def engineering_baselines(case="case33", n_samples=256, seed=7):
     """Droop + OPF dispatch metrics over sampled dataset rows (quasi-static
     operating points, no noise) — per-step engineering context for the RL
     metrics (the role of reference traditional_control/*.m)."""
@@ -96,14 +96,14 @@ def engineering_baselines(case="case33", n_samples=512, seed=7):
     out = {}
     for name, solver in (("droop_baseline", droop_solve),
                          ("opf_baseline", opf_solve)):
-        def run(lp, lq, pv):
+        def one(lp, lq, pv):
             q, res, _ = solver(env, lp, lq, pv)
             reward, info = env._calc_reward(res.vm, res.pl_mw, q)
             info["reward"] = reward
             info["converged"] = res.converged.astype(res.vm.dtype)
             return info
 
-        info = jax.jit(run)(load_p, load_q, pv_p)
+        info = jax.jit(jax.vmap(one))(load_p, load_q, pv_p)
         ok = np.asarray(info.pop("converged")) > 0
         out[name] = {
             ("mean_test_" + k if k != "reward" else "mean_test_reward"):
