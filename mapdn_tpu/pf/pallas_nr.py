@@ -275,7 +275,10 @@ def nr_solve_pallas(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
     # the chip's 128MB VMEM.
     mat_bytes = 2 * (2 * npad) * (2 * npad) * 4
     live_bytes = 24 * tile * (2 * npad) * 4
-    vmem_limit = min(2 * mat_bytes + live_bytes + (8 << 20), 100 << 20)
+    # 16MB headroom: Mosaic's stack accounting charges loop temporaries and
+    # per-grid-step double buffers beyond the nameable arrays (measured:
+    # npad=384/tile=64 needs 21.6MiB where the nameable sum is ~14MiB)
+    vmem_limit = min(2 * (mat_bytes + live_bytes) + (16 << 20), 100 << 20)
 
     v, err, it = pl.pallas_call(
         kern,

@@ -43,7 +43,10 @@ MARGINS = {
     "maac": (0.02, 0.30),
     "facmaddpg": (None, 0.10),
     "maddpg_decentralised": (0.02, 0.20),
-    "mappo_case322": (None, None),
+    # case322's synthetic feeder is near-controllable even untrained
+    # (random baseline ratio 0.979): assert the reward gap, which is where
+    # learning shows (q_loss/voltage-deviation trade-off)
+    "mappo_case322": (0.02, 0.01),
 }
 
 
