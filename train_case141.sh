@@ -1,9 +1,11 @@
 #!/bin/bash
-# Launch the 7-algorithm case33 sweep (reference train_case33.sh analog).
+# Launch the 7-algorithm case141 sweep (reference train_case141.sh analog).
 # The reference farms processes across GPUs with CUDA_VISIBLE_DEVICES;
 # with a single TPU host the runs go sequentially by default, or spread
 # them across hosts/slices yourself. Each run is internally parallel over
-# --n-envs vectorized environments.
+# --n-envs vectorized environments.  (Single-host tip: scripts/train_zoo.py
+# runs the whole sweep in ONE process, avoiding per-process device-lease
+# reacquisition.)
 set -e
 SCENARIO=case141_3min_final
 BARRIER=${BARRIER:-bowl}
