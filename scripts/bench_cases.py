@@ -27,9 +27,9 @@ from mapdn_tpu.utils.config import load_config
 CASES = [("case33", 8192), ("case141", 4096), ("case322", 2048)]
 
 
-def measure(case, n_envs, chunks=3):
-    env = make_env(case, EnvConfig(episode_limit=240), days=40,
-                   dtype=jnp.float32)
+def measure(case, n_envs, chunks=3, pf_backend="auto"):
+    env = make_env(case, EnvConfig(episode_limit=240, pf_backend=pf_backend),
+                   days=40, dtype=jnp.float32)
     info = env.get_env_info()
     cfg, _ = load_config("mappo")
     cfg = cfg.replace(
@@ -51,7 +51,7 @@ def measure(case, n_envs, chunks=3):
     sps = chunks * trainer._chunk_len * n_envs / dt
     return {
         "case": case, "n_envs": n_envs, "n_agents": info["n_agents"],
-        "n_bus": env.grid.n_bus,
+        "n_bus": env.grid.n_bus, "pf_backend": pf_backend,
         "env_steps_per_s": round(sps, 1),
         "train_reward": round(float(stats["mean_train_reward"]), 5),
     }
@@ -63,6 +63,19 @@ def main():
         row = measure(case, n_envs)
         rows.append(row)
         print(row, flush=True)
+    # end-to-end A/B for the auto-dispatch policy: case322 is where 'auto'
+    # routes the env's solves to the fused Pallas kernel (solver-level +39%,
+    # BENCH_SOLVERS.json); record the TRAINING-throughput delta vs forcing
+    # the XLA matrix-free path so the dispatch policy is justified
+    # end-to-end, not just at the solver microbench
+    if jax.default_backend() == "tpu":
+        row = measure("case322", 2048, pf_backend="xla")
+        rows.append(row)
+        print(row, flush=True)
+        auto = next(r for r in rows
+                    if r["case"] == "case322" and r["pf_backend"] == "auto")
+        row["auto_vs_xla"] = round(
+            auto["env_steps_per_s"] / row["env_steps_per_s"], 3)
     out = {"metric": "train env-steps/s/chip per scenario "
                      "(fused MAPPO, reference cadence)",
            "platform": jax.default_backend(), "rows": rows}
