@@ -9,12 +9,28 @@ We therefore provide:
   base network the reference's case33 model.p is derived from, with 6 PV
   stations over 4 zones matching the reference's scenario scale
   (reference README.md:299-303: case33 = 32 loads / 4 regions / 6 agents).
-* ``case141`` / ``case322`` — deterministic synthetic radial feeders with the
-  reference's exact dimensions (141 buses / 84 loads / 9 zones / 22 PVs and
-  322 buses / 337 loads / 22 zones / 38 PVs).  Impedances are drawn from
-  realistic MV-cable ranges with a fixed seed so results are reproducible.
+* ``case69`` — the exact Baran-Wu 69-bus feeder (public line and load data
+  from Baran & Wu, "Optimal capacitor placement on radial distribution
+  systems", IEEE Trans. Power Delivery 4(1), 1989; 12.66 kV), the companion
+  network of case33 and a second REAL grid exercising the encoding
+  pipeline.  Encoded here from the published tables and validated against
+  the independently-published base solution (min V = 0.9092 pu at bus 65,
+  total loss ~225 kW — see tests/test_env.py::test_case69_published_solution).
+  Not part of the reference's scenario set; PV/zone layout chosen in the
+  reference's style (high PV penetration, >=1 PV per zone).
+* ``case141`` / ``case322`` — **synthetic** stand-ins: deterministic random
+  radial feeders with the reference's exact dimensions (141 buses / 84
+  loads / 9 zones / 22 PVs and 322 buses / 337 loads / 22 zones / 38 PVs)
+  and loading calibrated so the no-PV nominal solve lands at vm_min~0.94.
+  The reference's real case141/322 networks ship as non-redistributable
+  pandapower pickles (reference README.md:98-107); the published source
+  tables (Khodr et al. for the 141-bus AES-Caracas feeder) are not
+  reachable from this offline build environment, and we do not guess at
+  impedance tables we cannot verify — benchmarks on these two cases
+  measure a same-scale synthetic feeder, NOT the reference network.
 * real MAPDN ``model.p`` grids can be imported through
-  :mod:`mapdn_tpu.grid.converter` when pandapower + the dataset are available.
+  :mod:`mapdn_tpu.grid.converter` when pandapower + the dataset are available;
+  the converter path is the fidelity-complete route for case141/322.
 """
 from __future__ import annotations
 
@@ -104,6 +120,100 @@ def _case33(dtype=jnp.float32):
 
     grid = make_grid(
         name="case33",
+        vn_kv=np.full(n_bus, 12.66),
+        f_bus=f_bus,
+        t_bus=t_bus,
+        r_ohm=br[:, 2],
+        x_ohm=br[:, 3],
+        c_nf=np.zeros(len(f_bus)),
+        max_i_ka=np.full(len(f_bus), 0.4),
+        load_bus=load_bus,
+        sgen_bus=sgen_bus,
+        bus_zone=bus_zone,
+        sgen_zone=sgen_zone,
+        sn_mva=1.0,
+        dtype=dtype,
+    )
+    return grid, load_p, load_q, sgen_p_max
+
+
+# ---------------------------------------------------------------------------
+# case69: Baran & Wu 69-bus radial feeder, 12.66 kV (IEEE Trans. Power
+# Delivery 4(1), 1989).  Columns: from(1-idx), to(1-idx), R[ohm], X[ohm].
+_CASE69_BRANCHES = [
+    (1, 2, 0.0005, 0.0012), (2, 3, 0.0005, 0.0012), (3, 4, 0.0015, 0.0036),
+    (4, 5, 0.0251, 0.0294), (5, 6, 0.3660, 0.1864), (6, 7, 0.3811, 0.1941),
+    (7, 8, 0.0922, 0.0470), (8, 9, 0.0493, 0.0251), (9, 10, 0.8190, 0.2707),
+    (10, 11, 0.1872, 0.0619), (11, 12, 0.7114, 0.2351), (12, 13, 1.0300, 0.3400),
+    (13, 14, 1.0440, 0.3450), (14, 15, 1.0580, 0.3496), (15, 16, 0.1966, 0.0650),
+    (16, 17, 0.3744, 0.1238), (17, 18, 0.0047, 0.0016), (18, 19, 0.3276, 0.1083),
+    (19, 20, 0.2106, 0.0690), (20, 21, 0.3416, 0.1129), (21, 22, 0.0140, 0.0046),
+    (22, 23, 0.1591, 0.0526), (23, 24, 0.3463, 0.1145), (24, 25, 0.7488, 0.2475),
+    (25, 26, 0.3089, 0.1021), (26, 27, 0.1732, 0.0572),
+    (3, 28, 0.0044, 0.0108), (28, 29, 0.0640, 0.1565), (29, 30, 0.3978, 0.1315),
+    (30, 31, 0.0702, 0.0232), (31, 32, 0.3510, 0.1160), (32, 33, 0.8390, 0.2816),
+    (33, 34, 1.7080, 0.5646), (34, 35, 1.4740, 0.4873),
+    (3, 36, 0.0044, 0.0108), (36, 37, 0.0640, 0.1565), (37, 38, 0.1053, 0.1230),
+    (38, 39, 0.0304, 0.0355), (39, 40, 0.0018, 0.0021), (40, 41, 0.7283, 0.8509),
+    (41, 42, 0.3100, 0.3623), (42, 43, 0.0410, 0.0478), (43, 44, 0.0092, 0.0116),
+    (44, 45, 0.1089, 0.1373), (45, 46, 0.0009, 0.0012),
+    (4, 47, 0.0034, 0.0084), (47, 48, 0.0851, 0.2083), (48, 49, 0.2898, 0.7091),
+    (49, 50, 0.0822, 0.2011),
+    (8, 51, 0.0928, 0.0473), (51, 52, 0.3319, 0.1114),
+    (9, 53, 0.1740, 0.0886), (53, 54, 0.2030, 0.1034), (54, 55, 0.2842, 0.1447),
+    (55, 56, 0.2813, 0.1433), (56, 57, 1.5900, 0.5337), (57, 58, 0.7837, 0.2630),
+    (58, 59, 0.3042, 0.1006), (59, 60, 0.3861, 0.1172), (60, 61, 0.5075, 0.2585),
+    (61, 62, 0.0974, 0.0496), (62, 63, 0.1450, 0.0738), (63, 64, 0.7105, 0.3619),
+    (64, 65, 1.0410, 0.5302),
+    (11, 66, 0.2012, 0.0611), (66, 67, 0.0047, 0.0014),
+    (12, 68, 0.7394, 0.2444), (68, 69, 0.0047, 0.0016),
+]
+# bus(1-idx), P[kW], Q[kvar] — 48 loads, total 3.802 MW / 2.695 Mvar
+_CASE69_LOADS = [
+    (6, 2.6, 2.2), (7, 40.4, 30.0), (8, 75.0, 54.0), (9, 30.0, 22.0),
+    (10, 28.0, 19.0), (11, 145.0, 104.0), (12, 145.0, 104.0), (13, 8.0, 5.5),
+    (14, 8.0, 5.5), (16, 45.5, 30.0), (17, 60.0, 35.0), (18, 60.0, 35.0),
+    (20, 1.0, 0.6), (21, 114.0, 81.0), (22, 5.0, 3.5), (24, 28.0, 20.0),
+    (26, 14.0, 10.0), (27, 14.0, 10.0), (28, 26.0, 18.6), (29, 26.0, 18.6),
+    (33, 14.0, 10.0), (34, 19.5, 14.0), (35, 6.0, 4.0), (36, 26.0, 18.55),
+    (37, 26.0, 18.55), (39, 24.0, 17.0), (40, 24.0, 17.0), (41, 1.2, 1.0),
+    (43, 6.0, 4.3), (45, 39.22, 26.3), (46, 39.22, 26.3), (48, 79.0, 56.4),
+    (49, 384.7, 274.5), (50, 384.7, 274.5), (51, 40.5, 28.3), (52, 3.6, 2.7),
+    (53, 4.35, 3.5), (54, 26.4, 19.0), (55, 24.0, 17.2), (59, 100.0, 72.0),
+    (61, 1244.0, 888.0), (62, 32.0, 23.0), (64, 227.0, 162.0), (65, 59.0, 42.0),
+    (66, 18.0, 13.0), (67, 18.0, 13.0), (68, 28.0, 20.0), (69, 28.0, 20.0),
+]
+
+
+def _case69(dtype=jnp.float32):
+    br = np.array(_CASE69_BRANCHES, np.float64)
+    f_bus = br[:, 0].astype(np.int32) - 1
+    t_bus = br[:, 1].astype(np.int32) - 1
+    n_bus = 69
+
+    # 6 zones over the feeder's natural arms (1-indexed bus ranges):
+    #   zone1 trunk head 2..14, zone2 trunk tail 15..27,
+    #   zone3 lateral 28..35, zone4 laterals 36..46 + 47..50,
+    #   zone5 lateral 53..65, zone6 laterals 51..52 + 66..67 + 68..69
+    bus_zone = np.zeros(n_bus, np.int32)
+    for lo, hi, z in [(2, 14, 1), (15, 27, 2), (28, 35, 3), (36, 50, 4),
+                      (53, 65, 5), (51, 52, 6), (66, 69, 6)]:
+        bus_zone[lo - 1:hi] = z
+
+    load_bus = np.array([l[0] - 1 for l in _CASE69_LOADS], np.int32)
+    load_p = np.array([l[1] for l in _CASE69_LOADS], np.float64) / 1000.0
+    load_q = np.array([l[2] for l in _CASE69_LOADS], np.float64) / 1000.0
+
+    # 12 PV stations over the 6 zones, reference-style high penetration
+    # (case33: 8.8 MW PV vs 3.7 MW load); deep buses see the largest
+    # voltage swings, so PVs sit mid/end-of-arm like the reference's
+    sgen_bus = np.array([10, 13, 20, 26, 31, 34, 40, 49, 57, 63, 66, 68],
+                        np.int32)  # 0-indexed
+    sgen_zone = bus_zone[sgen_bus]
+    sgen_p_max = np.full(len(sgen_bus), 9.0 / len(sgen_bus))
+
+    grid = make_grid(
+        name="case69",
         vn_kv=np.full(n_bus, 12.66),
         f_bus=f_bus,
         t_bus=t_bus,
@@ -250,6 +360,7 @@ def _case322(dtype=jnp.float32):
 
 CASES = {
     "case33": _case33,
+    "case69": _case69,
     "case141": _case141,
     "case322": _case322,
 }

@@ -87,25 +87,36 @@ def sample_window(state: ReplayState, key, batch_size: int,
     n_envs grows.
     """
     capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
+    n_env = jax.tree_util.tree_leaves(state.data)[0].shape[1]
     oldest = jnp.where(state.size < capacity, 0, state.ptr)
     k_start, k_lane = jax.random.split(key)
+
     if capacity == batch_size:
-        # the window is deterministically the whole buffer: un-rotate the
-        # ring with a roll (two contiguous slices, full HBM streaming
-        # bandwidth) instead of a row-gather, which lowers to per-row DMA
-        batch = jax.tree_util.tree_map(
-            lambda buf: jnp.roll(buf, -oldest, axis=0), state.data)
+        # the window is deterministically the whole buffer (logical order =
+        # ring un-rotation)
+        idx = (oldest + jnp.arange(batch_size)) % capacity
     else:
         max_start = jnp.maximum(state.size - batch_size, 0)
         start = jax.random.randint(k_start, (), 0, max_start + 1)
         idx = (oldest + start + jnp.arange(batch_size)) % capacity
-        batch = jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
 
-    n_env = jax.tree_util.tree_leaves(batch)[0].shape[1]
     if lanes is not None and lanes < n_env:
+        # joint (row, lane) gather: touches exactly batch*lanes rows.  The
+        # naive row-select-then-lane-select reads the FULL lane axis first —
+        # at 8192 lanes and 11 update epochs per chunk that is ~15 GB of
+        # pointless HBM traffic per chunk (measured round 4; this gather is
+        # the update phase's dominant cost, not the optimizer math)
         lane_idx = jax.random.choice(k_lane, n_env, (lanes,), replace=False)
-        batch = jax.tree_util.tree_map(lambda buf: buf[:, lane_idx], batch)
-    return batch
+        return jax.tree_util.tree_map(
+            lambda buf: buf[idx[:, None], lane_idx[None, :]], state.data)
+
+    if capacity == batch_size:
+        # whole-buffer, all lanes: un-rotate with a roll (two contiguous
+        # slices, full HBM streaming bandwidth) instead of a row-gather,
+        # which lowers to per-row DMA
+        return jax.tree_util.tree_map(
+            lambda buf: jnp.roll(buf, -oldest, axis=0), state.data)
+    return jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
 
 
 def clear(state: ReplayState) -> ReplayState:

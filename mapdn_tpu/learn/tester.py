@@ -23,40 +23,55 @@ class PGTester:
         self.algo = algo_state
         self.avail = env.avail_actions
 
-    def _greedy_actions(self, obs, hid, key):
-        _, action_pol, _, _, hid2 = self.model.get_actions(
-            self.algo.policy_params, obs[None], hid, key,
-            status="test", exploration=False, avail=self.avail)
-        return self.env.translate_actions(action_pol[0]), hid2
+    _SNAP_FIELDS = {
+        "pv_active": "pv_p", "pv_reactive": "sgen_q", "bus_active": "p_bus",
+        "bus_reactive": "q_bus", "bus_voltage": "vm", "line_loss": "pl_mw"}
+
+    def _day_replay(self, policy_params, state, obs, hid, key):
+        """Whole-day greedy replay as ONE lax.scan program: T sequential jit
+        dispatches (the reference's per-step loop, tester.py:19-63 — and this
+        class's own round-3 shape) collapse to one, which on the tunneled
+        TPU is the difference between ~480 round-trips and one."""
+        env, model = self.env, self.model
+
+        def stepfn(carry, k):
+            state, obs, hid = carry
+            k_act, k_env = jax.random.split(k)
+            _, action_pol, _, _, hid2 = model.get_actions(
+                policy_params, obs[None], hid, k_act,
+                status="test", exploration=False, avail=self.avail)
+            actions = env.translate_actions(action_pol[0])
+            out = env.step(state, actions, k_env, add_noise=False)
+            snap = {k2: getattr(out.state, f)
+                    for k2, f in self._SNAP_FIELDS.items()}
+            return (out.state, out.obs, hid2), (snap, out.terminated)
+
+        keys = jax.random.split(key, self.cfg.max_steps)
+        _, (snaps, terminated) = jax.lax.scan(
+            stepfn, (state, obs, hid), keys)
+        return snaps, terminated
 
     def run(self, day, hour, quarter) -> Dict[str, list]:
-        """Single-day replay with telemetry record (reference tester.py:19-63)."""
+        """Single-day replay with telemetry record (reference tester.py:19-63).
+
+        Record layout parity: one entry per visited state, starting at the
+        reset state, ending at the first terminal state (the reference
+        records then breaks)."""
         env = self.env
         state, obs, _ = env.manual_reset(day, hour, quarter)
         hid = self.model.init_hidden(1, obs.dtype)
-        record = {k: [] for k in (
-            "pv_active", "pv_reactive", "bus_active", "bus_reactive",
-            "bus_voltage", "line_loss")}
+        if not hasattr(self, "_jit_day_replay"):
+            self._jit_day_replay = jax.jit(self._day_replay)
+        snaps, terminated = self._jit_day_replay(
+            self.algo.policy_params, state, obs, hid, jax.random.PRNGKey(0))
+        term = np.asarray(terminated)
+        t_end = (int(np.argmax(term)) + 1) if term.any() else len(term)
 
-        def snap(s):
-            record["pv_active"].append(np.asarray(s.pv_p))
-            record["pv_reactive"].append(np.asarray(s.sgen_q))
-            record["bus_active"].append(np.asarray(s.p_bus))
-            record["bus_reactive"].append(np.asarray(s.q_bus))
-            record["bus_voltage"].append(np.asarray(s.vm))
-            record["line_loss"].append(np.asarray(s.pl_mw))
-
-        snap(state)
-        key = jax.random.PRNGKey(0)
-        step = jax.jit(env.step, static_argnames=("add_noise",))
-        for t in range(self.cfg.max_steps):
-            key, k_act, k_env = jax.random.split(key, 3)
-            actions, hid = self._greedy_actions(obs, hid, k_act)
-            out = step(state, actions, k_env, add_noise=False)
-            state, obs = out.state, out.obs
-            snap(state)
-            if bool(out.terminated):
-                break
+        record = {k: [np.asarray(getattr(state, f))]
+                  for k, f in self._SNAP_FIELDS.items()}
+        for k in record:
+            record[k].extend(np.asarray(v) for v in
+                             np.asarray(snaps[k])[:t_end])
         return record
 
     def batch_run(self, num_episodes=100) -> Dict[str, tuple]:

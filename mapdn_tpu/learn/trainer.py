@@ -70,8 +70,8 @@ class PGTrainer:
         # fuse ALL of an episode's chunks (incl. the in-between target
         # updates) into one jitted call: per-dispatch host latency is the
         # dominant cost of a 512-lane training episode on a tunneled TPU
-        # (4 chunk dispatches -> 1).  ShardedPGTrainer opts out (its
-        # sharded per-chunk jit carries explicit in/out shardings).
+        # (4 chunk dispatches -> 1).  ShardedPGTrainer re-jits both
+        # programs with explicit in/out shardings in its setup().
         self._fuse_episode = not cfg.episodic
         self._jit_episode = jax.jit(self._train_episode, donate_argnums=(0,))
 

@@ -87,8 +87,6 @@ class ShardedPGTrainer(PGTrainer):
 
     def __init__(self, cfg, model, env, mesh=None):
         super().__init__(cfg, model, env)
-        # sharded path drives the per-chunk jit (explicit in/out shardings)
-        self._fuse_episode = False
         self.mesh = mesh or make_env_mesh()
         n_dev = len(self.mesh.devices.reshape(-1))
         if cfg.n_envs % n_dev != 0:
@@ -99,9 +97,17 @@ class ShardedPGTrainer(PGTrainer):
         carry = self.init_carry(jax.random.PRNGKey(seed))
         carry = shard_carry(self.mesh, carry)
         shardings = _carry_shardings(self.mesh, carry)
+        repl = NamedSharding(self.mesh, P())
+        # both the per-chunk program and the fused whole-episode program
+        # carry the explicit in/out shardings; run_episode picks the fused
+        # one (the dispatch-latency win measured single-chip applies
+        # unchanged on a mesh — one XLA program per episode, with the
+        # learner's gradient all-reduces inside it)
         self._jit_chunk = jax.jit(
             self._train_chunk, donate_argnums=(0,),
-            in_shardings=(shardings,),
-            out_shardings=(shardings, NamedSharding(self.mesh, jax.sharding.PartitionSpec())))
+            in_shardings=(shardings,), out_shardings=(shardings, repl))
+        self._jit_episode = jax.jit(
+            self._train_episode, donate_argnums=(0,),
+            in_shardings=(shardings,), out_shardings=(shardings, repl))
         self.carry = carry
         return self

@@ -9,6 +9,7 @@ a light weights-only export mirrors the reference's model.pt role.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from typing import Any
 
@@ -30,10 +31,15 @@ def _drop_empty(tree):
 
 
 def _generations(path):
-    """Sorted generation subdirectories under a checkpoint directory."""
+    """Sorted generation subdirectories under a checkpoint directory.
+
+    Matches only complete ``ckpt_<8 digits>`` names: orbax crash leftovers
+    ('ckpt_<N>.orbax-checkpoint-tmp-<ts>') must not count toward ``keep``
+    or be offered to restore."""
     if not os.path.isdir(path):
         return []
-    return sorted(d for d in os.listdir(path) if d.startswith("ckpt_"))
+    return sorted(d for d in os.listdir(path)
+                  if re.fullmatch(r"ckpt_\d{8}", d))
 
 
 def save_checkpoint(path: str, carry, steps: int, episodes: int, *, keep=2):
@@ -55,6 +61,10 @@ def save_checkpoint(path: str, carry, steps: int, episodes: int, *, keep=2):
     ckptr.save(dest, payload, force=True)
     for d in _generations(path)[:-keep]:
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    # sweep orbax crash leftovers so they never accumulate
+    for d in os.listdir(path):
+        if ".orbax-checkpoint-tmp-" in d:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def restore_checkpoint(path: str, example_carry):

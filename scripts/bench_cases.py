@@ -12,19 +12,32 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+from bench import measure_baseline_oracle
+
 from mapdn_tpu.algos import make_model
 from mapdn_tpu.envs import EnvConfig, make_env
+from mapdn_tpu.grid import make_case
 from mapdn_tpu.learn.trainer import PGTrainer
 from mapdn_tpu.utils.config import load_config
 
-# lanes sized to keep replay + rollout well inside one chip's HBM
-CASES = [("case33", 8192), ("case141", 4096), ("case322", 2048)]
+# lanes sized to keep replay + rollout well inside one chip's HBM;
+# case69 is the bonus REAL Baran-Wu feeder (not a reference scenario)
+CASES = [("case33", 8192), ("case69", 8192), ("case141", 4096),
+         ("case322", 2048)]
+
+
+def baseline_for(case):
+    """Per-scenario reference-class baseline: float64 numpy NR solves/s on
+    THIS case's network (the reference steps one pandapower env per process;
+    solve cost scales with bus count, so each scenario gets its own oracle
+    number instead of inheriting case33's)."""
+    grid, load_p, load_q, _ = make_case(case)
+    return measure_baseline_oracle(grid, load_p, load_q)
 
 
 def measure(case, n_envs, chunks=3, pf_backend="auto"):
@@ -61,6 +74,9 @@ def main():
     rows = []
     for case, n_envs in CASES:
         row = measure(case, n_envs)
+        base = baseline_for(case)
+        row["baseline_env_steps_per_s"] = round(base, 1)
+        row["vs_baseline"] = round(row["env_steps_per_s"] / base, 1)
         rows.append(row)
         print(row, flush=True)
     # end-to-end A/B for the auto-dispatch policy: case322 is where 'auto'

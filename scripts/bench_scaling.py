@@ -19,8 +19,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
-import os
-import sys
 import time
 
 if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):

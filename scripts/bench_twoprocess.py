@@ -1,0 +1,154 @@
+"""Fixed-total scaling efficiency across a REAL process boundary.
+
+The virtual-mesh rows in BENCH_SCALING.json share one process (and this
+container has only 2 host cores), so they measure thread scheduling as much
+as sharding overhead (their fixed-total efficiencies even exceed 1).  This
+harness measures the closest DCN analog the container allows:
+
+  * config A: 1 process x 4 virtual CPU devices (all cores)
+  * config B: 2 processes x 2 virtual CPU devices, jax.distributed
+              rendezvous, each process pinned (taskset) to ONE core so the
+              pair gets the same total CPU as config A
+
+Both run the identical sharded fused train chunk over a 4-device 'env' mesh
+with the same fixed TOTAL env count; in config B the learner's gradient
+all-reduce crosses the OS-process boundary exactly as it would cross DCN
+between TPU hosts.  efficiency = throughput(B) / throughput(A).
+
+Usage:  python scripts/bench_twoprocess.py [out.json]
+        (spawns its own workers; ~2-4 min on 2 cores)
+"""
+import argparse
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_ENVS_TOTAL = 64
+CHUNK_STEPS = 16
+CHUNKS = 8
+
+
+def worker(num_processes, process_id, coordinator):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    assert jax.device_count() == 4, jax.devices()
+
+    import jax.numpy as jnp
+    from mapdn_tpu.algos import make_model
+    from mapdn_tpu.envs import EnvConfig, make_env
+    from mapdn_tpu.parallel import ShardedPGTrainer
+    from mapdn_tpu.utils.config import load_config
+
+    env = make_env("case33", EnvConfig(episode_limit=240), days=8,
+                   dtype=jnp.float32)
+    info = env.get_env_info()
+    cfg, _ = load_config("mappo")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], n_envs=N_ENVS_TOTAL,
+        max_steps=CHUNK_STEPS, behaviour_update_freq=CHUNK_STEPS,
+        batch_size=8, value_update_epochs=10, policy_update_epochs=1,
+        update_lanes=None, replay_buffer_size=8 * N_ENVS_TOTAL)
+    model = make_model("mappo", cfg)
+    trainer = ShardedPGTrainer(cfg, model, env).setup(seed=0)
+
+    # warm up + global barrier so every process times the same window
+    trainer.carry, _ = trainer._jit_chunk(trainer.carry)
+    jax.block_until_ready(trainer.carry.obs)
+    barrier = jax.jit(lambda: jax.numpy.zeros(()))  # trivial sync point
+    jax.block_until_ready(barrier())
+
+    t0 = time.perf_counter()
+    for _ in range(CHUNKS):
+        trainer.carry, stats = trainer._jit_chunk(trainer.carry)
+    jax.block_until_ready(trainer.carry.obs)
+    dt = time.perf_counter() - t0
+    sps = CHUNKS * CHUNK_STEPS * N_ENVS_TOTAL / dt
+    print(f"WORKER_RESULT steps_per_s={sps:.1f} wall_s={dt:.3f}", flush=True)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_config(num_processes):
+    devs_per_proc = 4 // num_processes
+    port = _free_port()
+    procs = []
+    for i in range(num_processes):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={devs_per_proc}")
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--num-processes", str(num_processes), "--process-id", str(i),
+               "--coordinator", f"localhost:{port}"]
+        if num_processes > 1:
+            # one core each: the pair gets the same total CPU as config A
+            cmd = ["taskset", "-c", str(i % os.cpu_count())] + cmd
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, cwd=REPO, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1200)
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    sps = [float(re.search(r"steps_per_s=(\S+)", o).group(1)) for o in outs]
+    # fixed-total: every process reports GLOBAL steps/s over its own window;
+    # take the slowest (the window isn't done until the last process is)
+    return min(sps)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--coordinator", default="")
+    ap.add_argument("out", nargs="?", default=None)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.num_processes, args.process_id, args.coordinator)
+        return
+
+    one = _run_config(1)
+    print(f"1-process (4 dev): {one:.1f} steps/s", flush=True)
+    two = _run_config(2)
+    print(f"2-process (2+2 dev): {two:.1f} steps/s", flush=True)
+    out = {
+        "metric": "fixed-total scaling efficiency across an OS-process "
+                  "boundary (jax.distributed, 4-device CPU mesh, fused "
+                  "sharded MAPPO chunk)",
+        "n_envs_total": N_ENVS_TOTAL,
+        "one_process_steps_per_s": round(one, 1),
+        "two_process_steps_per_s": round(two, 1),
+        "efficiency": round(two / one, 3),
+        "note": "2 host cores: config A gets both in one process, config B "
+                "pins one core per process (taskset), so the comparison "
+                "isolates the process-boundary (DCN-analog) collective cost "
+                "at equal total CPU.",
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
