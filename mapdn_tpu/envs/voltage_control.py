@@ -77,6 +77,13 @@ class EnvConfig:
     # solver; 'xla' / 'pallas' force one path
     pf_backend: str = struct.field(pytree_node=False, default="auto")
     pf_min_batch: int = struct.field(pytree_node=False, default=64)
+    # fixed-iteration unrolled Newton on the XLA path (None = while-loop
+    # with early exit).  See pf.newton.nr_solve(fixed_iter=...): an XLA
+    # While is a scheduling barrier inside the fused rollout, so the
+    # straight-line solver pipelines with the policy/obs work around it.
+    # 10 matches pandapower's own NR iteration cap; lanes needing more
+    # report diverged either way.
+    pf_fixed_iter: Any = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
@@ -139,7 +146,8 @@ class VoltageControlEnv:
         from mapdn_tpu.pf.pallas_nr import make_auto_solver
         self._solver = make_auto_solver(
             grid, tol=cfg.pf_tol, max_iter=cfg.pf_max_iter,
-            backend=cfg.pf_backend, min_batch=cfg.pf_min_batch)
+            backend=cfg.pf_backend, min_batch=cfg.pf_min_batch,
+            fixed_iter=cfg.pf_fixed_iter)
 
         # line-vs-trafo branch mask for the reward's line-loss term
         # (reference reads res_line only, voltage_control_env.py:599-600)

@@ -21,13 +21,18 @@ from mapdn_tpu.algos.base import flatten_batch
 from mapdn_tpu.learn.sampling import batchnorm, policy_log_density
 
 
-def gae_advantages(rewards, next_values, values, mask, gamma, lambda_):
+def gae_advantages(rewards, next_values, values, mask, gamma, lambda_,
+                  unroll=8):
     """Generalized advantage estimation over the window's time axis.
 
     Reverse recursion adv[t] = delta[t] + gamma*lambda*mask[t]*adv[t+1] with
     delta[t] = r[t] + gamma*mask[t]*V[t+1] - V[t], as a reverse ``lax.scan``
     (reference learning_algorithms/ppo.py:46-54 runs the same recursion as a
     backward Python loop).  All inputs are (T, ...) with mask broadcastable.
+
+    ``unroll``: the per-step work is a handful of elementwise ops on tiny
+    arrays, so a plain scan is pure While-op latency; unrolling fuses blocks
+    of steps into straight-line code (identical numerics).
     """
     def gae_step(last_adv, xs):
         r, onv, ov, m = xs
@@ -37,7 +42,8 @@ def gae_advantages(rewards, next_values, values, mask, gamma, lambda_):
 
     _, advantages = jax.lax.scan(
         gae_step, jnp.zeros_like(rewards[0]),
-        (rewards, next_values, values, mask), reverse=True)
+        (rewards, next_values, values, mask), reverse=True,
+        unroll=min(unroll, rewards.shape[0]))
     return advantages
 
 
@@ -136,7 +142,8 @@ def ppo_loss(model, state, batch, avail, key):
     mask = jnp.where(last_step > 0, 1.0 - done, 1.0)
 
     advantages = gae_advantages(
-        rewards, old_next_values, old_values, mask, cfg.gamma, cfg.lambda_)
+        rewards, old_next_values, old_values, mask, cfg.gamma, cfg.lambda_,
+        unroll=cfg.gae_unroll)
 
     b = model.unpack(batch)
     advantages = flatten_batch(advantages)

@@ -87,36 +87,38 @@ def sample_window(state: ReplayState, key, batch_size: int,
     n_envs grows.
     """
     capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
-    n_env = jax.tree_util.tree_leaves(state.data)[0].shape[1]
     oldest = jnp.where(state.size < capacity, 0, state.ptr)
     k_start, k_lane = jax.random.split(key)
-
     if capacity == batch_size:
-        # the window is deterministically the whole buffer (logical order =
-        # ring un-rotation)
-        idx = (oldest + jnp.arange(batch_size)) % capacity
+        # the window is deterministically the whole buffer: un-rotate the
+        # ring with a roll (two contiguous slices, full HBM streaming
+        # bandwidth) instead of a row-gather, which lowers to per-row DMA.
+        # (A joint (row, lane) gather was tried in round 4 and is 2.6x
+        # SLOWER than roll+slice — XLA's multi-axis gather of small rows
+        # can't stream.  When the same window feeds several epochs, hoist
+        # the roll and call subsample_lanes per epoch — see
+        # trainer._update_epochs.)
+        batch = jax.tree_util.tree_map(
+            lambda buf: jnp.roll(buf, -oldest, axis=0), state.data)
     else:
         max_start = jnp.maximum(state.size - batch_size, 0)
         start = jax.random.randint(k_start, (), 0, max_start + 1)
         idx = (oldest + start + jnp.arange(batch_size)) % capacity
+        batch = jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
 
-    if lanes is not None and lanes < n_env:
-        # joint (row, lane) gather: touches exactly batch*lanes rows.  The
-        # naive row-select-then-lane-select reads the FULL lane axis first —
-        # at 8192 lanes and 11 update epochs per chunk that is ~15 GB of
-        # pointless HBM traffic per chunk (measured round 4; this gather is
-        # the update phase's dominant cost, not the optimizer math)
-        lane_idx = jax.random.choice(k_lane, n_env, (lanes,), replace=False)
-        return jax.tree_util.tree_map(
-            lambda buf: buf[idx[:, None], lane_idx[None, :]], state.data)
+    return subsample_lanes(batch, k_lane, lanes, presplit=True)
 
-    if capacity == batch_size:
-        # whole-buffer, all lanes: un-rotate with a roll (two contiguous
-        # slices, full HBM streaming bandwidth) instead of a row-gather,
-        # which lowers to per-row DMA
-        return jax.tree_util.tree_map(
-            lambda buf: jnp.roll(buf, -oldest, axis=0), state.data)
-    return jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
+
+def subsample_lanes(window, key, lanes: int | None, *, presplit=False):
+    """Random lane subset of a (T, n_env, ...) window (same RNG stream as
+    :func:`sample_window`: key -> split -> choice on the second half, unless
+    ``presplit`` says the caller already split)."""
+    n_env = jax.tree_util.tree_leaves(window)[0].shape[1]
+    if lanes is None or lanes >= n_env:
+        return window
+    k_lane = key if presplit else jax.random.split(key)[1]
+    lane_idx = jax.random.choice(k_lane, n_env, (lanes,), replace=False)
+    return jax.tree_util.tree_map(lambda buf: buf[:, lane_idx], window)
 
 
 def clear(state: ReplayState) -> ReplayState:

@@ -232,13 +232,15 @@ class PGTrainer:
         capacity = jax.tree_util.tree_leaves(replay.data)[0].shape[0]
         lanes = cfg.update_lanes
         subsampling = lanes is not None and lanes < self.n_envs
-        # without lane subsampling, a capacity==batch_size window is the
-        # same whole-buffer batch every epoch: hoist the gather out of the
-        # scan; with subsampling each epoch draws fresh lanes
-        fixed_batch = None
-        if (capacity == cfg.batch_size and not subsampling
-                and not cfg.episodic):
-            fixed_batch = rb.sample_window(replay, key, cfg.batch_size)
+        # a capacity==batch_size window is deterministically the whole
+        # (un-rotated) buffer, so its roll is identical every epoch: hoist
+        # it out of the scan.  Without lane subsampling the whole batch is
+        # fixed; with subsampling only the cheap per-epoch lane gather
+        # stays inside (round-4 measurement: the per-epoch roll was ~60%
+        # of the update phase's wall time at 8192 lanes x 20 epochs)
+        fixed_window = None
+        if capacity == cfg.batch_size and not cfg.episodic:
+            fixed_window = rb.sample_window(replay, key, cfg.batch_size)
 
         def epoch(carry, k):
             algo = carry
@@ -246,11 +248,13 @@ class PGTrainer:
             if cfg.episodic:
                 # batch_size counts whole episodes (reference default.yaml:21)
                 batch = rb.sample_episodes(replay, k_samp, cfg.batch_size)
-            elif fixed_batch is None:
+            elif fixed_window is not None:
+                # same RNG stream as sample_window(replay, k_samp, ...):
+                # bitwise-identical lane draws, minus the redundant roll
+                batch = rb.subsample_lanes(fixed_window, k_samp, lanes)
+            else:
                 batch = rb.sample_window(replay, k_samp, cfg.batch_size,
                                          lanes=lanes)
-            else:
-                batch = fixed_batch
             if which == "value":
                 grads, vl = jax.grad(self._value_loss_fn, has_aux=True)(
                     algo.value_params, algo, batch, k_loss)
@@ -288,7 +292,9 @@ class PGTrainer:
             return algo, stats
 
         keys = jax.random.split(key, epochs)
-        algo, stats = jax.lax.scan(epoch, algo, keys)
+        algo, stats = jax.lax.scan(
+            epoch, algo, keys,
+            unroll=min(max(cfg.update_epoch_unroll, 1), epochs))
         return algo, jax.tree_util.tree_map(jnp.mean, stats)
 
     def _update_phase(self, algo, replay, key):
@@ -328,7 +334,8 @@ class PGTrainer:
     def _train_chunk(self, carry: TrainerCarry):
         cfg = self.cfg
         carry, (trans, roll_stats) = jax.lax.scan(
-            self._rollout_step, carry, None, length=self._chunk_len)
+            self._rollout_step, carry, None, length=self._chunk_len,
+            unroll=min(max(cfg.rollout_unroll, 1), self._chunk_len))
         roll_stats = jax.tree_util.tree_map(jnp.mean, roll_stats)
 
         if self.model.stores_rollout_value:

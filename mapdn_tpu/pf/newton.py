@@ -67,6 +67,12 @@ def _mm(x, m):
     return jnp.matmul(x, m.T, precision=_HI)
 
 
+def _mp(x, m):
+    """Plain (..., 2n) x (2n, 2n) matmul at full f32 precision (packed
+    operators are built pre-transposed, pallas_nr-style)."""
+    return jnp.matmul(x, m, precision=_HI)
+
+
 def _currents(g_mat, b_mat, rowsum_g, rowsum_b, e, f):
     """Ir, Ii = Re/Im(Ybus V), cancellation-safe.
 
@@ -89,7 +95,7 @@ def _calc_pq(grid, e, f):
 
 
 def nr_solve(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20, inner_iters=3,
-             vm0=None, va0=None):
+             vm0=None, va0=None, fixed_iter=None):
     """Batched matrix-free NR solve.
 
     Args:
@@ -99,6 +105,18 @@ def nr_solve(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20, inner_iters=3,
         use ~1e-8 under float64 for pandapower-grade parity).
       inner_iters: Richardson refinement steps per Newton direction; 0 means
         a pure chord/Picard step with the frozen flat-start preconditioner.
+      fixed_iter: if set, run exactly this many UNROLLED Newton iterations
+        (per-lane masked freeze once converged) instead of a
+        ``lax.while_loop`` with early exit.  Same fixed point, same
+        convergence test; lanes needing more than ``fixed_iter`` iterations
+        report ``converged=False`` (pandapower's own NR caps at 10).  Why:
+        an XLA While op is a scheduling barrier — nothing overlaps across
+        it — so inside a fused rollout the surrounding policy/obs work
+        serializes against every solve.  Straight-line iterations let XLA
+        pipeline the whole step (round-4 ablation: policy costs 14 ms alone
+        but +37 ms when interleaved with the While-based solver).  The
+        unrolled body also carries the mismatch between iterations (one
+        evaluation per iteration; the While body needs two).
 
     Flat start by default (pandapower's ``init='auto'`` resolves to a flat
     start for PQ-only distribution nets).  Result fields follow pandapower's
@@ -118,94 +136,144 @@ def nr_solve(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20, inner_iters=3,
     inv_c = 1.0 / jnp.max(y_diag)
     g_mat = grid.g_mat * inv_c
     b_mat = grid.b_mat * inv_c
-    rowsum_g = grid.rowsum_g * inv_c
-    rowsum_b = grid.rowsum_b * inv_c
-    w_inv = grid.j0_inv / inv_c
-    p_inj = p_inj * inv_c
-    q_inj = q_inj * inv_c
+
+    # ---- packed complex operators (the Pallas kernel's layout, in XLA) ----
+    # Every state vector is one (..., 2n) array of [real-half | imag-half];
+    # slack handling is a mask, not concat/slice: at n=33 the old per-half
+    # slicing ([..., 1:], zero-pad concats) forced a vector relayout per op,
+    # and each iteration issued 2x the matmuls.  Grid arrays are jit
+    # constants here, so the blocks fold at compile time.
+    #   [Ir, Ii]   = [e-1, f]  @ ypack + rowsum     (currents)
+    #   [dIr, dIi] = [de, df]  @ ypack              (directional currents)
+    #   [dth, dnu] = [fP, fQ]  @ wpack              (preconditioner)
+    # (pre-transposed blocks, exactly as PallasNRContext builds them:
+    #  (x @ G^T)_j = sum_i G[j,i] x_i = (G x)_j)
+    ypack = jnp.block([[g_mat.T, b_mat.T], [-b_mat.T, g_mat.T]])
+    w = grid.j0_inv / inv_c
+    m = n - 1
+    zpad = jnp.zeros((n, n), dtype)
+    wb = {}
+    for name, (r, c) in {"tp": (0, 0), "tq": (0, 1),
+                         "np": (1, 0), "nq": (1, 1)}.items():
+        wb[name] = zpad.at[1:, 1:].set(w[r * m:(r + 1) * m, c * m:(c + 1) * m]).T
+    wpack = jnp.block([[wb["tp"], wb["np"]], [wb["tq"], wb["nq"]]])
+    rowsum = jnp.concatenate([grid.rowsum_g, grid.rowsum_b]) * inv_c
+    mask = jnp.concatenate([
+        jnp.zeros((1,), dtype).at[0].set(0.0),
+        jnp.ones((n - 1,), dtype)])
+    mask = jnp.concatenate([mask, mask])          # (2n,) PQ-bus mask
+
+    spec = jnp.concatenate([p_inj, q_inj], axis=-1) * (inv_c * mask)
 
     if vm0 is None:
         vm0 = jnp.ones(batch_shape + (n,), dtype)
         vm0 = vm0.at[..., 0].set(grid.slack_vm.astype(dtype))
     if va0 is None:
         va0 = jnp.zeros(batch_shape + (n,), dtype)
-    e0 = vm0 * jnp.cos(va0)
-    f0 = vm0 * jnp.sin(va0)
+    # packed rectangular state [e, f]
+    v0 = jnp.concatenate([vm0 * jnp.cos(va0), vm0 * jnp.sin(va0)], axis=-1)
 
-    p_spec = p_inj[..., 1:]
-    q_spec = q_inj[..., 1:]
     # convergence is tested on mismatch relative to the lane's loading scale
     # (clipped at 1 pu so light-load lanes keep an absolute 'tol' test):
     # the f32 mismatch floor grows with |S|, an absolute test would falsely
     # flag heavy (but solvable) cases as diverged
-    s_ref = jnp.maximum(jnp.maximum(
-        jnp.max(jnp.abs(p_spec), axis=-1),
-        jnp.max(jnp.abs(q_spec), axis=-1)), 1.0)
+    s_ref = jnp.maximum(jnp.max(jnp.abs(spec), axis=-1), 1.0)
 
-    def d_currents(de, df):
-        # directional derivative of Ybus V: deltas are small, no shift needed
-        ir = _mm(de, g_mat) - _mm(df, b_mat)
-        ii = _mm(df, g_mat) + _mm(de, b_mat)
-        return ir, ii
+    base = jnp.concatenate([jnp.ones((n,), dtype), jnp.zeros((n,), dtype)])
 
-    def mismatch(e, f):
-        ir, ii = _currents(g_mat, b_mat, rowsum_g, rowsum_b, e, f)
-        p = e * ir + f * ii
-        q = f * ir - e * ii
-        return (jnp.concatenate(
-            [p_spec - p[..., 1:], q_spec - q[..., 1:]], axis=-1), ir, ii)
+    def split(x):
+        return x[..., :n], x[..., n:]
 
-    zero_pad = jnp.zeros(batch_shape + (1,), dtype)
+    def join(a, b):
+        return jnp.concatenate([a, b], axis=-1)
 
-    def jvp_apply(dx, e, f, ir, ii):
-        """J @ dx (scaled-dVm polar Jacobian), matrix-free."""
-        dth = jnp.concatenate([zero_pad, dx[..., : n - 1]], axis=-1)
-        dnu = jnp.concatenate([zero_pad, dx[..., n - 1:]], axis=-1)
-        de = -f * dth + e * dnu
-        df = e * dth + f * dnu
-        dir_, dii = d_currents(de, df)
-        dp = de * ir + e * dir_ + df * ii + f * dii
-        dq = df * ir + f * dir_ - de * ii - e * dii
-        return jnp.concatenate([dp[..., 1:], dq[..., 1:]], axis=-1)
+    def mismatch(v):
+        # cancellation-safe currents: Y (v - flat) + exact rowsums (see
+        # _currents); one packed matmul instead of four half matmuls
+        cur = _mp(v - base, ypack) + rowsum
+        e, f = split(v)
+        ir, ii = split(cur)
+        pq = join(e * ir + f * ii, f * ir - e * ii)
+        return (spec - pq) * mask, cur
 
-    def newton_dir(fvec, e, f, ir, ii):
-        dx = _mm(fvec, w_inv)
+    def newton_dir(fvec, v, cur):
+        e, f = split(v)
+        ir, ii = split(cur)
+        d = _mp(fvec, wpack)
         for _ in range(inner_iters):
-            r = fvec - jvp_apply(dx, e, f, ir, ii)
-            dx = dx + _mm(r, w_inv)
-        return dx
+            dth, dnu = split(d)
+            de = -f * dth + e * dnu
+            df = e * dth + f * dnu
+            dcur = _mp(join(de, df), ypack)
+            dir_, dii = split(dcur)
+            jv = join(de * ir + e * dir_ + df * ii + f * dii,
+                      df * ir + f * dir_ - de * ii - e * dii) * mask
+            d = d + _mp(fvec - jv, wpack)
+        return d
 
-    def cond(carry):
-        vm, va, done, it = carry
-        return jnp.logical_and(it < max_iter, ~jnp.all(done))
+    def apply_update(v, d, gate):
+        # va += dth, vm *= (1 + dnu), in rectangular form:
+        # v' = vm (1+dnu) [cos(va+dth), sin(va+dth)]; slack rows have
+        # d == 0 by wpack construction, gate freezes converged lanes
+        e, f = split(v)
+        dth, dnu = split(d)
+        cos_d = jnp.cos(gate * dth)
+        sin_d = jnp.sin(gate * dth)
+        scale = 1.0 + gate * dnu
+        return join(scale * (e * cos_d - f * sin_d),
+                    scale * (f * cos_d + e * sin_d))
 
-    def body(carry):
-        vm, va, done, it = carry
-        e = vm * jnp.cos(va)
-        f = vm * jnp.sin(va)
-        fvec, ir, ii = mismatch(e, f)
-        dx = newton_dir(fvec, e, f, ir, ii)
+    def err_of(fvec):
+        return jnp.max(jnp.abs(fvec), axis=-1) / s_ref
 
-        upd = jnp.where(done[..., None], 0.0, dx)
-        va_new = va.at[..., 1:].add(upd[..., : n - 1])
-        vm_new = vm.at[..., 1:].multiply(1.0 + upd[..., n - 1:])
+    def vm_sq_max(v):
+        e, f = split(v)
+        return jnp.max(e * e + f * f, axis=-1)
 
-        fnew, _, _ = mismatch(vm_new * jnp.cos(va_new), vm_new * jnp.sin(va_new))
-        err = jnp.max(jnp.abs(fnew), axis=-1) / s_ref
-        bad = jnp.logical_or(~jnp.isfinite(err), jnp.max(vm_new, axis=-1) > 10.0)
-        done_next = jnp.logical_or(done, jnp.logical_or(err < tol, bad))
-        return vm_new, va_new, done_next, it + 1
+    fvec0, cur0 = mismatch(v0)
+    err0 = err_of(fvec0)
+    done0 = err0 < tol
 
-    fvec0, _, _ = mismatch(e0, f0)
-    done0 = jnp.max(jnp.abs(fvec0), axis=-1) / s_ref < tol
-    it0 = jnp.asarray(0, jnp.int32)  # scalar: iterations of the slowest lane
+    if fixed_iter is not None:
+        # straight-line path: fixed_iter unrolled masked iterations — no
+        # While op, so XLA can pipeline the surrounding program through
+        # the solver (an XLA While is a scheduling barrier)
+        v, fvec, cur, done = v0, fvec0, cur0, done0
+        it = jnp.zeros(batch_shape, jnp.int32)
+        for _ in range(fixed_iter):
+            d = newton_dir(fvec, v, cur)
+            gate = 1.0 - done[..., None].astype(dtype)
+            v = apply_update(v, d, gate)
+            it = it + jnp.where(done, 0, 1)
+            fvec, cur = mismatch(v)
+            err = err_of(fvec)
+            bad = jnp.logical_or(~jnp.isfinite(err), vm_sq_max(v) > 100.0)
+            done = jnp.logical_or(done, jnp.logical_or(err < tol, bad))
+    else:
+        def cond(carry):
+            v, fvec, cur, done, it = carry
+            return jnp.logical_and(it < max_iter, ~jnp.all(done))
 
-    vm, va, done, it = jax.lax.while_loop(cond, body, (vm0, va0, done0, it0))
-    it = jnp.broadcast_to(it, batch_shape)
+        def body(carry):
+            v, fvec, cur, done, it = carry
+            d = newton_dir(fvec, v, cur)
+            gate = 1.0 - done[..., None].astype(dtype)
+            v2 = apply_update(v, d, gate)
+            fvec2, cur2 = mismatch(v2)
+            err = err_of(fvec2)
+            bad = jnp.logical_or(~jnp.isfinite(err), vm_sq_max(v2) > 100.0)
+            done2 = jnp.logical_or(done, jnp.logical_or(err < tol, bad))
+            return v2, fvec2, cur2, done2, it + 1
 
-    ffin, _, _ = mismatch(vm * jnp.cos(va), vm * jnp.sin(va))
-    err = jnp.max(jnp.abs(ffin), axis=-1) / s_ref
+        v, fvec, cur, done, it_s = jax.lax.while_loop(
+            cond, body, (v0, fvec0, cur0, done0, jnp.asarray(0, jnp.int32)))
+        it = jnp.broadcast_to(it_s, batch_shape)
+
+    err = err_of(fvec)
     converged = jnp.logical_and(err < tol, jnp.isfinite(err))
+    e, f = split(v)
+    vm = jnp.sqrt(e * e + f * f)
+    va = jnp.arctan2(f, e)
 
     p_bus, q_bus = bus_injections(grid, vm, va)
     pl_mw, loading = branch_results(grid, vm, va)

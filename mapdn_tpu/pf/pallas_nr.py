@@ -311,8 +311,229 @@ def nr_solve_pallas(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
         loading=loading, converged=converged, n_iter=n_iter)
 
 
+class PallasNRSmallContext:
+    """Transposed-layout operands for the small-grid kernel.
+
+    Layout: the BUS axis lives on sublanes (padded to a multiple of 8) and
+    the BATCH axis on lanes (padded to a multiple of 128).  At n=33 the
+    batch-on-sublanes layout of :class:`PallasNRContext` pads 2n=66 up to
+    2*npad=256 lanes — 74% of every matmul row is padding; transposed, the
+    operators are (2nb, 2nb) with nb=40 and each matmul is
+    (2nb, 2nb) @ (2nb, tile): ~10x fewer padded FLOPs, and the whole solve
+    is still ONE fused op per call (no XLA While in the rollout's way).
+    """
+
+    def __init__(self, grid):
+        n = grid.n_bus
+        nb = _round_up(n, 8)
+        g64 = np.asarray(grid.g_mat, np.float64)
+        b64 = np.asarray(grid.b_mat, np.float64)
+        y_diag = np.sqrt(np.diag(g64) ** 2 + np.diag(b64) ** 2)
+        inv_c = 1.0 / float(np.max(y_diag))
+        gs, bs = g64 * inv_c, b64 * inv_c
+
+        def pad(m):
+            out = np.zeros((nb, nb), np.float64)
+            out[:n, :n] = m
+            return out
+
+        # column-vector operator: [Ir; Ii] = ymat @ [e-1; f]
+        ymat = np.block([[pad(gs), pad(-bs)], [pad(bs), pad(gs)]])
+        self.ymat = ymat.astype(np.float32)
+
+        # preconditioner: [dth; dnu] = wmat @ [fP; fQ]
+        w = np.asarray(grid.j0_inv, np.float64) / inv_c
+        m = n - 1
+        wmat = np.zeros((2 * nb, 2 * nb), np.float64)
+        for (r, c), (ro, co) in {(0, 0): (1, 1), (0, 1): (1, nb + 1),
+                                 (1, 0): (nb + 1, 1), (1, 1): (nb + 1, nb + 1)}.items():
+            wmat[ro:ro + m, co:co + m] = w[r * m:(r + 1) * m, c * m:(c + 1) * m]
+        self.wmat = wmat.astype(np.float32)
+
+        rs = np.zeros((2 * nb, 1), np.float64)
+        rs[:n, 0] = np.asarray(grid.rowsum_g, np.float64) * inv_c
+        rs[nb:nb + n, 0] = np.asarray(grid.rowsum_b, np.float64) * inv_c
+        self.rowsum = rs.astype(np.float32)
+
+        mask = np.zeros((2 * nb, 1), np.float32)
+        mask[1:n, 0] = 1.0
+        mask[nb + 1:nb + n, 0] = 1.0
+        self.mask = mask
+
+        self.n = n
+        self.nb = nb
+        self.inv_c = inv_c
+        self.slack_vm = float(grid.slack_vm)
+        # batch tile on lanes; ~14 live (2nb, tile) arrays + the two
+        # (2nb, 2nb) operators, comfortably inside VMEM for nb <= ~200
+        self.tile = 2048 if nb <= 64 else (1024 if nb <= 160 else 512)
+
+
+_CTX_SMALL_CACHE = {}
+
+
+def get_ctx_small(grid) -> PallasNRSmallContext:
+    key = id(grid)
+    if key not in _CTX_SMALL_CACHE:
+        _CTX_SMALL_CACHE[key] = PallasNRSmallContext(grid)
+    return _CTX_SMALL_CACHE[key]
+
+
+def _nr_kernel_small(spec_ref, v0_ref, ymat_ref, wmat_ref, rs_ref, mask_ref,
+                     v_out, err_out, it_out, *, tol, max_iter, inner_iters,
+                     nb):
+    """Transposed twin of :func:`_nr_kernel`: every state array is
+    (2*nb, tile) with [real-half; imag-half] on the SUBLANE axis and batch
+    lanes on the LANE axis; the operators act by left-multiplication."""
+    mask = mask_ref[:]
+    ymat = ymat_ref[:]
+    wmat = wmat_ref[:]
+    rowsum = rs_ref[:]
+    spec = spec_ref[:] * mask
+
+    def split(x):
+        return x[:nb, :], x[nb:, :]
+
+    def join(a, b):
+        return jnp.concatenate([a, b], axis=0)
+
+    s_ref = jnp.maximum(jnp.max(jnp.abs(spec), axis=0, keepdims=True), 1.0)
+
+    def mismatch(v):
+        e, f = split(v)
+        cur = _dot(ymat, join(e - 1.0, f)) + rowsum    # [Ir; Ii]
+        ir, ii = split(cur)
+        pq = join(e * ir + f * ii, f * ir - e * ii)
+        return (spec - pq) * mask, cur
+
+    def newton_dir(fvec, v, cur):
+        e, f = split(v)
+        ir, ii = split(cur)
+        d = _dot_fast(wmat, fvec)                      # [dth; dnu]
+        for _ in range(inner_iters):
+            dth, dnu = split(d)
+            de = -f * dth + e * dnu
+            df = e * dth + f * dnu
+            dcur = _dot_fast(ymat, join(de, df))
+            dir_, dii = split(dcur)
+            jv = join(de * ir + e * dir_ + df * ii + f * dii,
+                      df * ir + f * dir_ - de * ii - e * dii) * mask
+            d = d + _dot_fast(wmat, fvec - jv)
+        return split(d)
+
+    v0 = v0_ref[:]
+    fvec0, cur0 = mismatch(v0)
+    err0 = jnp.max(jnp.abs(fvec0), axis=0, keepdims=True) / s_ref
+    done0 = jnp.where(err0 < tol, 1.0, 0.0)
+
+    def cond(c):
+        it, alldone = c[0], c[1]
+        return jnp.logical_and(it < max_iter, alldone < 0.5)
+
+    def body(c):
+        it, _, v, fvec, cur, err, done, niter = c
+        e, f = split(v)
+        dth, dnu = newton_dir(fvec, v, cur)
+        gate = 1.0 - done
+        niter2 = niter + gate
+        cos_d = jnp.cos(gate * dth)
+        sin_d = jnp.sin(gate * dth)
+        scale = 1.0 + gate * dnu
+        e2 = scale * (e * cos_d - f * sin_d)
+        f2 = scale * (f * cos_d + e * sin_d)
+        v2 = join(e2, f2)
+        fvec2, cur2 = mismatch(v2)
+        err2 = jnp.max(jnp.abs(fvec2), axis=0, keepdims=True) / s_ref
+        vm2sq = jnp.max(e2 * e2 + f2 * f2, axis=0, keepdims=True)
+        stop = jnp.logical_or(
+            jnp.logical_or(~jnp.isfinite(err2), err2 < tol), vm2sq > 100.0)
+        done2 = jnp.maximum(done, jnp.where(stop, 1.0, 0.0))
+        return it + 1, jnp.min(done2), v2, fvec2, cur2, err2, done2, niter2
+
+    out = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), jnp.min(done0), v0, fvec0, cur0,
+         err0, done0, jnp.zeros_like(err0)))
+    v_out[:] = out[2]
+    err_out[:] = out[5]
+    it_out[:] = out[7]
+
+
+def nr_solve_pallas_small(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
+                          inner_iters=3, vm0=None, va0=None, interpret=False):
+    """Batched NR via the transposed small-grid kernel (bus on sublanes,
+    batch on lanes).  Same contract as :func:`nr_solve_pallas`."""
+    ctx = get_ctx_small(grid)
+    n, nb = ctx.n, ctx.nb
+    batch_shape = p_inj.shape[:-1]
+    bsz = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
+    tile = min(ctx.tile, _round_up(bsz, 128))
+    bpad = _round_up(max(bsz, tile), tile)
+    dtype = jnp.float32
+
+    spec = jnp.zeros((2 * nb, bpad), dtype)
+    spec = spec.at[:n, :bsz].set(
+        (p_inj.reshape(bsz, n).astype(dtype) * ctx.inv_c).T)
+    spec = spec.at[nb:nb + n, :bsz].set(
+        (q_inj.reshape(bsz, n).astype(dtype) * ctx.inv_c).T)
+
+    if vm0 is None:
+        vm0b = jnp.full((bsz, n), 1.0, dtype).at[:, 0].set(ctx.slack_vm)
+    else:
+        vm0b = vm0.reshape(bsz, n).astype(dtype)
+    va0b = (jnp.zeros((bsz, n), dtype) if va0 is None
+            else va0.reshape(bsz, n).astype(dtype))
+    v0 = jnp.zeros((2 * nb, bpad), dtype)
+    v0 = v0.at[:nb, :].set(1.0)
+    v0 = v0.at[:n, :bsz].set((vm0b * jnp.cos(va0b)).T)
+    v0 = v0.at[nb:nb + n, :bsz].set((vm0b * jnp.sin(va0b)).T)
+
+    kern = functools.partial(
+        _nr_kernel_small, tol=tol, max_iter=max_iter,
+        inner_iters=inner_iters, nb=nb)
+    bspec = pl.BlockSpec((2 * nb, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((2 * nb, 2 * nb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((2 * nb, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+
+    mat_bytes = 2 * (2 * nb) * (2 * nb) * 4
+    live_bytes = 24 * (2 * nb) * tile * 4
+    vmem_limit = min(2 * (mat_bytes + live_bytes) + (16 << 20), 100 << 20)
+
+    v, err, it = pl.pallas_call(
+        kern,
+        grid=(bpad // tile,),
+        in_specs=[bspec, bspec, mspec, mspec, vspec, vspec],
+        out_specs=[bspec, espec, espec],
+        out_shape=[jax.ShapeDtypeStruct((2 * nb, bpad), dtype),
+                   jax.ShapeDtypeStruct((1, bpad), dtype),
+                   jax.ShapeDtypeStruct((1, bpad), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
+        interpret=interpret,
+    )(spec, v0, ctx.ymat, ctx.wmat, ctx.rowsum, ctx.mask)
+
+    e = v[:n, :bsz].T.reshape(batch_shape + (n,))
+    f = v[nb:nb + n, :bsz].T.reshape(batch_shape + (n,))
+    vm = jnp.sqrt(e * e + f * f)
+    va = jnp.arctan2(f, e)
+    err = err[0, :bsz].reshape(batch_shape)
+    converged = jnp.logical_and(err < tol, jnp.isfinite(err))
+    n_iter = it[0, :bsz].reshape(batch_shape).astype(jnp.int32)
+
+    p_bus, q_bus = bus_injections(grid, vm, va)
+    pl_mw, loading = branch_results(grid, vm, va)
+    return PFResult(
+        vm=vm, va=va, p_bus=p_bus, q_bus=q_bus, pl_mw=pl_mw,
+        loading=loading, converged=converged, n_iter=n_iter)
+
+
 def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
-                     min_batch=64):
+                     min_batch=64, fixed_iter=None):
     """A per-lane NR solve that auto-dispatches under ``vmap``.
 
     Returns ``solve(p, q, vm0, va0) -> PFResult`` for one lane ((n,) arrays).
@@ -336,12 +557,16 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
     (3.42M vs 3.35M), and the packed-VMEM kernel wins once the per-iteration
     working set outgrows what XLA keeps on-chip (case322: 1.77M vs 1.27M,
     +39%).  So: kernel iff n_bus > 200 (npad >= 384).
+
+    ``fixed_iter``: forwarded to :func:`nr_solve`'s unrolled fixed-iteration
+    path (XLA branch only; the Pallas kernel already runs its loop fused
+    on-chip, where the While costs nothing).
     """
     from jax.custom_batching import custom_vmap
 
     def _xla(p, q, vm0, va0):
         return nr_solve(grid, p, q, tol=tol, max_iter=max_iter,
-                        vm0=vm0, va0=va0)
+                        vm0=vm0, va0=va0, fixed_iter=fixed_iter)
 
     on_tpu = jax.default_backend() == "tpu"
     forced = backend == "pallas"

@@ -113,6 +113,17 @@ class AlgoConfig:
     # compute stays bounded as n_envs scales (the reference's batch_size
     # counts transitions of its single env).  None = all lanes.
     update_lanes: Optional[int] = None
+    # XLA scan-unroll factors (pure scheduling knobs — numerics unchanged).
+    # The update phase is latency-bound sequential micro-ops (round-4
+    # profile: 20 epochs = 71 ms while their FLOPs are ~nothing); unrolling
+    # lets XLA schedule/overlap across iterations instead of fencing at
+    # every While-op boundary.
+    # Defaults picked by measurement (artifacts/PERF_LAB.json, TPU v5e,
+    # 8192-lane bench config): epoch unroll + rollout unroll 2 took the
+    # fused chunk 157 -> 142 ms; rollout unroll 4 only adds compile time.
+    gae_unroll: int = 8             # GAE reverse recursion (losses.py)
+    update_epoch_unroll: int = 10   # optimizer-epoch scan (trainer.py)
+    rollout_unroll: int = 2         # env-step rollout scan (trainer.py)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

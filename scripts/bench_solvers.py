@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from mapdn_tpu.grid import make_case
 from mapdn_tpu.pf.newton import nr_solve
-from mapdn_tpu.pf.pallas_nr import nr_solve_pallas
+from mapdn_tpu.pf.pallas_nr import nr_solve_pallas, nr_solve_pallas_small
 
 SWEEP = [("case33", 8192), ("case141", 4096), ("case322", 4096)]
 
@@ -67,12 +67,17 @@ def bench_case(case, n_envs):
 
     bench("xla matrix-free", lambda p, q: nr_solve(grid, p, q))
     bench("pallas fused", lambda p, q: nr_solve_pallas(grid, p, q))
+    if grid.n_bus <= 200:
+        bench("pallas small-T", lambda p, q: nr_solve_pallas_small(grid, p, q))
     # warm-start variants (the env warm-starts from the previous solution)
     vm0 = jnp.ones((n_envs, n), jnp.float32)
     bench("xla warm", lambda p, q: nr_solve(grid, p, q, vm0=vm0 * 1.0,
                                             va0=jnp.zeros_like(vm0)))
     bench("pallas warm", lambda p, q: nr_solve_pallas(
         grid, p, q, vm0=vm0 * 1.0, va0=jnp.zeros_like(vm0)))
+    if grid.n_bus <= 200:
+        bench("pallas small-T warm", lambda p, q: nr_solve_pallas_small(
+            grid, p, q, vm0=vm0 * 1.0, va0=jnp.zeros_like(vm0)))
     return rows
 
 

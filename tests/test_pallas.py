@@ -99,3 +99,39 @@ def test_pallas_n_iter_telemetry_matches_xla():
     warm = nr_solve_pallas(grid, pb, qb, interpret=True,
                            vm0=out.vm, va0=out.va)
     assert int(np.asarray(warm.n_iter).max()) <= 1
+
+
+def test_pallas_small_kernel_matches_xla():
+    """Transposed small-grid kernel (bus on sublanes, batch on lanes):
+    parity + divergence masking + warm start, interpret mode."""
+    from mapdn_tpu.pf.pallas_nr import nr_solve_pallas_small
+
+    grid, pb, qb = _case_injections("case33", 8)
+    ref = nr_solve(grid, pb, qb)
+    out = nr_solve_pallas_small(grid, pb, qb, interpret=True)
+    assert bool(ref.converged.all()) and bool(out.converged.all())
+    np.testing.assert_allclose(out.vm, ref.vm, atol=2e-5)
+    np.testing.assert_allclose(out.va, ref.va, atol=2e-5)
+
+    # divergence isolation within a tile
+    pb_bad = pb.at[2:4].multiply(500.0)
+    out2 = nr_solve_pallas_small(grid, pb_bad, qb, interpret=True)
+    assert bool(out2.converged[0]) and bool(out2.converged[1])
+    assert not bool(out2.converged[2]) and not bool(out2.converged[3])
+
+    # warm start from the solution converges immediately
+    warm = nr_solve_pallas_small(grid, pb, qb, interpret=True,
+                                 vm0=out.vm, va0=out.va)
+    assert bool(warm.converged.all())
+    assert int(warm.n_iter.max()) == 0
+
+
+def test_pallas_small_kernel_case141():
+    """nb > 64 tile class (141-bus): padding/masking still correct."""
+    from mapdn_tpu.pf.pallas_nr import nr_solve_pallas_small
+
+    grid, pb, qb = _case_injections("case141", 4)
+    ref = nr_solve(grid, pb, qb)
+    out = nr_solve_pallas_small(grid, pb, qb, interpret=True)
+    assert bool(ref.converged.all()) and bool(out.converged.all())
+    np.testing.assert_allclose(out.vm, ref.vm, atol=5e-5)
