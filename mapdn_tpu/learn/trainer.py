@@ -150,12 +150,18 @@ class PGTrainer:
         return v.reshape(t, l, -1)
 
     def _rollout_step(self, carry: TrainerCarry, _):
-        """One vectorized rollout step.  Emits the transition (next_value
-        left zero; filled in by the post-scan shift) instead of writing the
-        replay inside the scan, so the chunk does ONE policy forward and at
-        most one critic forward per step — the reference's rollout
-        (model.py:211-222) recomputes the next-state action and value every
-        step only to throw them away when step t+1 computes its own."""
+        """One vectorized rollout step.
+
+        The transition is written STRAIGHT INTO THE RING inside the scan
+        (one dynamic-update-slice per field) instead of being emitted as a
+        scan output: a (chunk_len, n_envs, ...) transition stack costs
+        2.7 GB at 8192 lanes and 11 GB at 32k (the round-3 32k-lane OOM),
+        while the ring holds only `capacity` rows.  Rollout-time critic
+        values (PPO's old_values) are filled post-scan on the ring's
+        surviving rows only — the reference's rollout recomputes the
+        next-state action and value every step just to throw them away
+        (model.py:211-222).  Episodic mode still emits whole trajectories
+        (it stores full episodes, model.py:72-96)."""
         model = self.model
         rng, k_act, k_env = jax.random.split(carry.rng, 3)
 
@@ -198,7 +204,10 @@ class PGTrainer:
         new_carry = carry.replace(
             env_state=out.state, obs=out.obs, last_hid=next_hid,
             rng=rng, steps=carry.steps + 1)
-        return new_carry, (trans, step_stats)
+        if self.cfg.episodic:
+            return new_carry, (trans, step_stats)
+        new_carry = new_carry.replace(replay=rb.add(new_carry.replay, trans))
+        return new_carry, step_stats
 
     # --------------------------------------------------------------- updates
     def _policy_loss_fn(self, policy_params, algo, batch, key):
@@ -331,33 +340,63 @@ class PGTrainer:
                 algo.target_mixer_params, algo.mixer_params, tau))
 
     # ----------------------------------------------------------- train chunk
+    def _fill_ring_values(self, carry: TrainerCarry) -> TrainerCarry:
+        """Fill value[t] = V(state[t]) and next_value[t] = value[t+1] on the
+        ring's rows with ONE whole-ring critic forward (+ one forward on the
+        current obs for the newest row's bootstrap).  Ring row i's temporal
+        successor is (i+1) % capacity except the newest row, whose successor
+        is the live obs.  On done steps GAE masks next_value out, and the
+        bootstrap at an auto-reset boundary values the fresh obs — both
+        correct.
+
+        Values are recomputed at chunk end rather than stored per step;
+        for the on-policy algorithms that consume them (PPO family) this is
+        exactly the rollout-time value: parameters only change in updates,
+        and every update is followed by an on-policy buffer clear, so no
+        sampled row can predate the last parameter change."""
+        replay = carry.replay
+        data = replay.data
+        values = self._rollout_values_all(carry.algo, data.state)
+        v_last = self._rollout_value(carry.algo, carry.obs, None)
+        cap = values.shape[0]
+        next_values = jnp.roll(values, -1, axis=0)
+        newest = (replay.ptr - 1) % cap
+        next_values = next_values.at[newest].set(v_last)
+        data = data.replace(
+            value=jax.lax.stop_gradient(values).astype(data.value.dtype),
+            next_value=jax.lax.stop_gradient(next_values).astype(
+                data.next_value.dtype))
+        return carry.replace(replay=replay.replace(data=data))
+
     def _train_chunk(self, carry: TrainerCarry):
         cfg = self.cfg
-        carry, (trans, roll_stats) = jax.lax.scan(
-            self._rollout_step, carry, None, length=self._chunk_len,
-            unroll=min(max(cfg.rollout_unroll, 1), self._chunk_len))
+        if cfg.episodic:
+            carry, (trans, roll_stats) = jax.lax.scan(
+                self._rollout_step, carry, None, length=self._chunk_len,
+                unroll=min(max(cfg.rollout_unroll, 1), self._chunk_len))
+        else:
+            carry, roll_stats = jax.lax.scan(
+                self._rollout_step, carry, None, length=self._chunk_len,
+                unroll=min(max(cfg.rollout_unroll, 1), self._chunk_len))
         roll_stats = jax.tree_util.tree_map(jnp.mean, roll_stats)
 
-        if self.model.stores_rollout_value:
-            # one whole-chunk critic forward fills value[t] = V(state[t]);
-            # next_value[t] = value[t+1], with one extra forward on the final
-            # obs closing the chunk.  On done steps GAE masks next_value out,
-            # and the bootstrap at an auto-reset boundary values the fresh
-            # obs — both correct.
-            values = self._rollout_values_all(carry.algo, trans.state)
-            v_last = self._rollout_value(carry.algo, carry.obs, None)
-            next_values = jnp.concatenate(
-                [values[1:], v_last[None]], axis=0)
-            trans = trans.replace(
-                value=jax.lax.stop_gradient(values),
-                next_value=jax.lax.stop_gradient(next_values))
-
         if cfg.episodic:
+            if self.model.stores_rollout_value:
+                values = self._rollout_values_all(carry.algo, trans.state)
+                v_last = self._rollout_value(carry.algo, carry.obs, None)
+                next_values = jnp.concatenate(
+                    [values[1:], v_last[None]], axis=0)
+                trans = trans.replace(
+                    value=jax.lax.stop_gradient(values),
+                    next_value=jax.lax.stop_gradient(next_values))
             # store the whole episode; updates run on the episode cadence
             # from run_episode (reference model.py:72-96)
             carry = carry.replace(replay=rb.add_episode(carry.replay, trans))
             return carry, roll_stats
-        carry = carry.replace(replay=rb.add_many(carry.replay, trans))
+
+        # ring already written in-scan (see _rollout_step)
+        if self.model.stores_rollout_value:
+            carry = self._fill_ring_values(carry)
 
         rng, k_upd = jax.random.split(carry.rng)
         carry = carry.replace(rng=rng)

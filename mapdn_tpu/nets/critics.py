@@ -49,11 +49,14 @@ class CentralVCritic(_Base):
         act = _activation(self.hid_activation)
         h = self._dense(self.hid_size)(joint)[:, None, :]
         if self.use_agent_id:
+            # explicit f32 param dtype: flax's self.param without a dtype
+            # hands the initializer jnp.float_, which is f64 under the x64
+            # test config and silently promotes the whole critic to f64
             id_embed = self.param(
                 "agent_id_embed",
                 _kernel_init(self.init_type, self.init_std,
                              self.hid_activation),
-                (self.n_agents, self.hid_size))
+                (self.n_agents, self.hid_size), jnp.float32)
             h = h + id_embed[None]
         else:
             h = jnp.broadcast_to(

@@ -551,15 +551,22 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
     on CPU).
 
     The 'auto' policy is MEASURED, not assumed (TPU v5e, batch 8192/4096,
-    scripts/bench_solvers.py, see BENCH_SOLVERS.json): XLA's fused
-    matrix-free path wins on small grids where its 128-padded matmuls are
-    cheap (case33: 10.0M vs 5.6M solves/s), the two tie at case141
-    (3.42M vs 3.35M), and the packed-VMEM kernel wins once the per-iteration
-    working set outgrows what XLA keeps on-chip (case322: 1.77M vs 1.27M,
-    +39%).  So: kernel iff n_bus > 200 (npad >= 384).
+    scripts/bench_solvers.py, see BENCH_SOLVERS.json; round-4 numbers with
+    the packed XLA solver):
+      * n_bus <= 200 -> XLA matrix-free.  The transposed small-grid kernel
+        (nr_solve_pallas_small) wins the solver microbench at case33
+        (15.5M vs 13.8M solves/s) but the advantage does not survive inside
+        the fused train chunk (137-147 ms either way, run variance larger
+        than the delta), and its default-precision Newton-direction matmuls
+        raise the spurious-divergence rate from 2e-6 to 5e-5 — so the
+        default stays on the XLA path; the kernel remains selectable via
+        pf_backend='pallas' for n_bus <= 64.  case141 is a statistical tie
+        (4.0-4.7M both).
+      * n_bus > 200  -> packed batch-on-sublanes kernel (case322: +39% at
+        the solver, +19% end-to-end).
 
     ``fixed_iter``: forwarded to :func:`nr_solve`'s unrolled fixed-iteration
-    path (XLA branch only; the Pallas kernel already runs its loop fused
+    path (XLA branch only; the Pallas kernels run their loops fused
     on-chip, where the While costs nothing).
     """
     from jax.custom_batching import custom_vmap
@@ -570,6 +577,7 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
 
     on_tpu = jax.default_backend() == "tpu"
     forced = backend == "pallas"
+    small = grid.n_bus <= 64
     use_pallas = forced or (backend == "auto" and on_tpu
                             and grid.n_bus > 200)
     interpret = forced and not on_tpu
@@ -587,8 +595,9 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
         p, q, vm0, va0 = (bc(a, b) for a, b in
                           zip((p, q, vm0, va0), in_batched))
         if use_pallas and (forced or axis_size >= min_batch):
-            res = nr_solve_pallas(grid, p, q, tol=tol, max_iter=max_iter,
-                                  vm0=vm0, va0=va0, interpret=interpret)
+            kernel = nr_solve_pallas_small if small else nr_solve_pallas
+            res = kernel(grid, p, q, tol=tol, max_iter=max_iter,
+                         vm0=vm0, va0=va0, interpret=interpret)
             if res.vm.dtype != p.dtype:  # kernel computes in f32
                 res = jax.tree_util.tree_map(
                     lambda x: x.astype(p.dtype)

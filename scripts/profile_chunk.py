@@ -15,6 +15,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import functools
 import json
 import time
 
@@ -61,7 +62,7 @@ def main():
         agent_num=info["n_agents"], obs_size=info["obs_shape"],
         action_dim=info["n_actions"], n_envs=n_envs,
         behaviour_update_freq=60, batch_size=32,
-        value_update_epochs=10, policy_update_epochs=10, update_lanes=1024)
+        value_update_epochs=10, policy_update_epochs=1, update_lanes=1024)
     model = make_model("mappo", cfg)
     trainer = PGTrainer(cfg, model, env).setup(seed=0)
 
@@ -76,12 +77,23 @@ def main():
     print(f"full chunk      : {dt_full*1e3:8.1f} ms  "
           f"({60*n_envs/dt_full/1e6:.2f}M steps/s)")
 
-    # rollout only
-    @jax.jit
+    # rollout only (donated carry: the in-scan ring writes must update in
+    # place, exactly as in the fused chunk — without donation every
+    # .at[].set copies the whole ring)
+    import copy as _copy
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def rollout_only(carry):
-        c, _ = jax.lax.scan(trainer._rollout_step, carry, None, length=60)
+        c, _ = jax.lax.scan(trainer._rollout_step, carry, None, length=60,
+                            unroll=cfg.rollout_unroll)
         return c
-    dt_roll, _ = timeit(rollout_only, carry)
+    c2 = rollout_only(jax.tree_util.tree_map(jnp.copy, carry))
+    jax.block_until_ready(c2.obs)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        c2 = rollout_only(c2)
+    jax.block_until_ready(c2.obs)
+    dt_roll = (time.perf_counter() - t0) / reps
     print(f"rollout only    : {dt_roll*1e3:8.1f} ms")
 
     # env step only (no policy): fixed actions

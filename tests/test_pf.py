@@ -101,3 +101,34 @@ def test_slack_balances_network():
     total_load = float(np.sum(load_p))
     total_loss = float(jnp.sum(res.pl_mw[0]))
     np.testing.assert_allclose(slack_gen_mw, total_load + total_loss, atol=1e-7)
+
+
+def test_fixed_iter_matches_while_path():
+    """nr_solve(fixed_iter=N) is the same Newton recursion as the while
+    path, statically unrolled with masked freezes: identical fixed point
+    and convergence verdicts (f64)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mapdn_tpu.grid import make_case
+    from mapdn_tpu.pf.newton import nr_solve
+
+    grid, lp, lq, _ = make_case("case33", dtype=jnp.float64)
+    n = grid.n_bus
+    rng = np.random.RandomState(3)
+    B = 32
+    p = np.zeros((B, n))
+    q = np.zeros((B, n))
+    for b in range(B):
+        s = 0.4 + rng.rand()
+        np.add.at(p[b], np.asarray(grid.load_bus), -np.asarray(lp) * s)
+        np.add.at(q[b], np.asarray(grid.load_bus), -np.asarray(lq) * s)
+    P, Q = jnp.asarray(p), jnp.asarray(q)
+    r_while = nr_solve(grid, P, Q, tol=1e-9)
+    r_fixed = nr_solve(grid, P, Q, tol=1e-9, fixed_iter=10)
+    assert bool(r_while.converged.all()) and bool(r_fixed.converged.all())
+    np.testing.assert_allclose(np.asarray(r_fixed.vm), np.asarray(r_while.vm),
+                               atol=1e-12)
+    # an insufficient budget must report non-convergence, not wrong numbers
+    r_short = nr_solve(grid, P, Q, tol=1e-9, fixed_iter=1)
+    assert not bool(r_short.converged.all())
