@@ -14,9 +14,13 @@ These tests assert the committed evidence is real and self-consistent:
 late (last-3-evals) reward and totally-controllable ratio must beat the
 random baseline by per-algorithm margins chosen as floors under the
 measured results, and every curve must improve over its own first eval.
-FACMADDPG is the one weak learner (its QMIX value factorization is a poor
-fit for this dense cooperative reward); it is asserted on ratio
-improvement + self-improvement rather than a reward margin.
+FACMADDPG was round-3's one weak learner (late ratio 0.678 at the
+reference's exact hyperparameters).  The committed sweep
+(artifacts/facmaddpg_sweep/summary.json) isolated the cause: the
+reference's own target_update_freq of 4800 freezes the soft targets
+(~20 refreshes per run).  At the zoo-standard 120
+(configs/alg/facmaddpg.yaml, documented deviation) it learns like the
+rest of the DDPG family and is held to the same margins below.
 
 Regenerate with:  python scripts/train_zoo.py --force
                   python scripts/learning_report.py
@@ -41,7 +45,7 @@ MARGINS = {
     "coma": (0.02, 0.30),
     "sqddpg": (0.02, 0.30),
     "maac": (0.02, 0.30),
-    "facmaddpg": (None, 0.10),
+    "facmaddpg": (0.02, 0.20),
     "maddpg_decentralised": (0.02, 0.20),
     # case322's synthetic feeder is near-controllable even untrained
     # (random baseline ratio 0.979): assert the reward gap, which is where
