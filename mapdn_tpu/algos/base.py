@@ -77,8 +77,11 @@ def soft_update(target, source, tau):
 
 
 def flatten_batch(x):
-    """(T, L, ...) -> (T*L, ...) for per-transition losses."""
-    return x.reshape((-1,) + x.shape[2:])
+    """(T, L, ...) -> (T*L, ...) for per-transition losses.
+
+    Explicit T*L instead of -1: a zero-size trailing dim (e.g. the width-0
+    Transition.hid placeholder of the PPO family) breaks -1 inference."""
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
 
 class MARLModel:
@@ -98,6 +101,13 @@ class MARLModel:
     # incompatible with the trainer's whole-chunk act=None critic forward;
     # it must set this so the trainer fails loudly instead of mis-evaluating
     rollout_value_needs_act = False
+    # whether get_loss reads the NEXT-step GRU state (Transition.hid) — the
+    # DDPG/AC family bootstraps next-state actions through it.  The PPO
+    # family never does, and the (capacity, n_envs, n, hid) ring field is
+    # the single largest replay tensor: round-4 trace showed its in-scan
+    # writes + inter-phase layout copies cost ~25 ms per 8192-lane chunk,
+    # so algorithms that don't read it store a width-0 placeholder instead
+    stores_next_hidden = True
 
     def __init__(self, cfg):
         self.cfg = cfg

@@ -13,6 +13,7 @@ from mapdn_tpu.learn.losses import ppo_loss
 class IPPO(MARLModel):
     on_policy = True
     stores_rollout_value = True
+    stores_next_hidden = False  # PPO loss never reads Transition.hid
 
     def construct_value_net(self):
         self.value_in_dim = self.obs_dim + (self.n if self.cfg.agent_id else 0)

@@ -15,6 +15,7 @@ from mapdn_tpu.nets.critics import CentralVCritic
 class MAPPO(MARLModel):
     on_policy = True
     stores_rollout_value = True
+    stores_next_hidden = False  # PPO loss never reads Transition.hid
 
     def construct_value_net(self):
         cfg = self.cfg

@@ -110,12 +110,13 @@ class PGTrainer:
 
     def _example_transition(self, obs):
         n, a, h = self.model.n, self.model.act_dim, self.model.hid_dim
+        h_next = h if self.model.stores_next_hidden else 0
         z = lambda *shape: jnp.zeros((self.n_envs,) + shape, obs.dtype)
         return Transition(
             state=jnp.zeros_like(obs), action=z(n, a), log_prob_a=z(n, a),
             value=z(n), next_value=z(n), reward=z(n),
             next_state=jnp.zeros_like(obs), done=z(), last_step=z(),
-            last_hid=z(n, h), hid=z(n, h))
+            last_hid=z(n, h), hid=z(n, h_next))
 
     # --------------------------------------------------------------- rollout
     def _rollout_value(self, algo, obs, act):
@@ -192,7 +193,7 @@ class PGTrainer:
             done=done,
             last_step=done,
             last_hid=carry.last_hid,
-            hid=hid)
+            hid=hid if model.stores_next_hidden else hid[..., :0])
 
         # terminated lanes restart their GRU state (reference model.py:207)
         next_hid = jnp.where(out.terminated[:, None, None], 0.0, hid)
