@@ -366,6 +366,9 @@ class VoltageControlEnv:
     def step(self, state: EnvState, sgen_actions, key, add_noise=True):
         """One transition. ``sgen_actions``: (n_sgen,) values in [low, high]."""
         cfg = self.cfg
+        # cast to the env dtype: an x64-context caller handing f64 actions
+        # must not promote the solver's packed while-loop carries
+        sgen_actions = jnp.asarray(sgen_actions, state.pv_p.dtype)
         q_cmd = self.clip_reactive_power(sgen_actions, state.pv_p)
         # warm start from the previous solved operating point: consecutive
         # 3-min rows differ little, halving Newton iterations vs flat start

@@ -74,6 +74,56 @@ class PGTester:
                              np.asarray(snaps[k])[:t_end])
         return record
 
+    def run_days(self, days, hour=23, quarter=2) -> Dict[str, list]:
+        """Greedy replay of MANY fixed days at once: every requested day is
+        a vmapped lane of one jitted scan, so sweeping the full ~2-year test
+        set costs one dispatch instead of days x 480 (the reference's
+        single-mode loop, tester.py:19-63, makes such sweeps impractical).
+
+        Returns {metric: [per-day mean over that day's alive steps]} plus
+        'reward' and 'days'."""
+        env, model = self.env, self.model
+        days_arr = jnp.asarray(days, jnp.int32)
+
+        def replay(policy_params, days_arr, hq, key):
+            n = days_arr.shape[0]
+            states, obs, _ = jax.vmap(
+                lambda d: env.manual_reset(d, hq[0], hq[1]))(days_arr)
+            hid = model.init_hidden(n, obs.dtype)
+
+            def stepfn(carry, k):
+                state, obs, hid, alive = carry
+                k_act, k_env = jax.random.split(k)
+                _, a_pol, _, _, hid2 = model.get_actions(
+                    policy_params, obs, hid, k_act,
+                    status="test", exploration=False, avail=self.avail)
+                acts = jax.vmap(env.translate_actions)(a_pol)
+                ks = jax.random.split(k_env, n)
+                out = jax.vmap(lambda s, a, kk: env.step(s, a, kk, False))(
+                    state, acts, ks)
+                stats = {k2: v * alive for k2, v in out.info.items()}
+                stats["reward"] = out.reward * alive
+                n_alive = alive
+                alive = alive * (1.0 - out.terminated.astype(alive.dtype))
+                return (out.state, out.obs, hid2, alive), (stats, n_alive)
+
+            keys = jax.random.split(key, self.cfg.max_steps)
+            alive0 = jnp.ones(n, obs.dtype)
+            _, (stats, n_alive) = jax.lax.scan(
+                stepfn, (states, obs, hid, alive0), keys)
+            ep_len = jnp.maximum(jnp.sum(n_alive, axis=0), 1.0)
+            return {k2: jnp.sum(v, axis=0) / ep_len
+                    for k2, v in stats.items()}
+
+        if not hasattr(self, "_jit_run_days"):
+            self._jit_run_days = jax.jit(replay)
+        stats = self._jit_run_days(
+            self.algo.policy_params, days_arr,
+            jnp.asarray([hour, quarter], jnp.int32), jax.random.PRNGKey(0))
+        out = {k: [float(x) for x in np.asarray(v)] for k, v in stats.items()}
+        out["days"] = list(map(int, days))
+        return out
+
     def batch_run(self, num_episodes=100) -> Dict[str, tuple]:
         """Aggregate info metrics over random episodes
         (reference tester.py:65-99): {metric: (mean, 2*std)}.

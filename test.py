@@ -32,8 +32,12 @@ def main():
     parser.add_argument("--scenario", type=str, default="case33_3min_final")
     parser.add_argument("--voltage-barrier-type", type=str, default="l1")
     parser.add_argument("--test-mode", type=str, default="single",
-                        choices=["single", "batch"])
+                        choices=["single", "batch", "day_sweep"])
     parser.add_argument("--test-day", type=int, default=10)
+    # day_sweep: replay [test-day, test-day + sweep-days) vectorized in
+    # one jitted scan (every day is a lane) and dump per-day summaries —
+    # the reference's single mode needs one full CLI run per day
+    parser.add_argument("--sweep-days", type=int, default=28)
     parser.add_argument("--test-episodes", type=int, default=10)
     parser.add_argument("--data-path", type=str, default=None)
     parser.add_argument("--days", type=int, default=40)
@@ -71,7 +75,17 @@ def main():
               "untrained (randomly initialized) policy")
 
     tester = PGTester(cfg, model, env, algo_state)
-    if argv.test_mode == "single":
+    if argv.test_mode == "day_sweep":
+        days = list(range(argv.test_day, argv.test_day + argv.sweep_days))
+        out_stats = tester.run_days(days, 23, 2)
+        out = f"test_record_{log_name}_days{days[0]}-{days[-1]}.pickle"
+        with open(out, "wb") as f:
+            pickle.dump(out_stats, f, pickle.HIGHEST_PROTOCOL)
+        rw = out_stats["reward"]
+        print(f"wrote {out}: {len(days)} days, mean reward "
+              f"{sum(rw)/len(rw):.4f}, worst day "
+              f"{days[min(range(len(rw)), key=lambda i: rw[i])]}")
+    elif argv.test_mode == "single":
         record = tester.run(argv.test_day, 23, 2)
         out = f"test_record_{log_name}_day{argv.test_day}.pickle"
         with open(out, "wb") as f:

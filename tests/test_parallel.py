@@ -53,21 +53,24 @@ def test_uneven_envs_rejected():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_chunk_numerically_matches_unsharded():
+@pytest.mark.parametrize("alg", ["maddpg", "mappo"])
+def test_sharded_chunk_numerically_matches_unsharded(alg):
     """The sharded train chunk computes the SAME math as the single-device
     one — sharding only changes layout (VERDICT r3 missing #3).  Same seed,
     same shapes, f64: every carry leaf (params, opt state, env state,
-    replay contents) must agree to collective-reordering tolerance."""
+    replay contents) must agree to collective-reordering tolerance.
+    maddpg covers the off-policy action-conditioned profile; mappo covers
+    the on-policy post-scan ring-value-fill profile."""
     env = make_env("case33", EnvConfig(episode_limit=16), days=8,
                    dtype=jnp.float64)
     info = env.get_env_info()
-    cfg, _ = load_config("maddpg")
+    cfg, _ = load_config(alg)
     cfg = cfg.replace(
         agent_num=info["n_agents"], obs_size=info["obs_shape"],
         action_dim=info["n_actions"], max_steps=8, behaviour_update_freq=4,
         batch_size=4, value_update_epochs=2, policy_update_epochs=1,
         replay_buffer_size=64, n_envs=16, num_eval_episodes=2, hid_size=32)
-    model = make_model("maddpg", cfg)
+    model = make_model(alg, cfg)
 
     ref = PGTrainer(cfg, model, env).setup(seed=0)
     ref_carry, ref_stats = ref._jit_chunk(ref.carry)
