@@ -21,6 +21,21 @@ import time
 import numpy as np
 
 
+def pinned_baseline(case):
+    """The pinned per-case oracle baseline from BASELINE_ORACLE.json
+    (scripts/pin_baseline.py's one-protocol measurement), or None if the
+    artifact is absent.  Using one pinned number per case stops the
+    baseline drifting between artifacts measured in different sessions."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_ORACLE.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["cases"][case])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def measure_baseline_oracle(grid, load_p, load_q, repeats=25, trials=5):
     """float64 numpy NR solves/s (reference-compute-class proxy).
 
@@ -93,8 +108,14 @@ def main():
     dt = times[len(times) // 2]
     env_sps = trainer._chunk_len * n_envs / dt
 
-    grid, load_p, load_q, _ = make_case("case33")
-    base_sps = measure_baseline_oracle(grid, load_p, load_q)
+    base_sps = pinned_baseline("case33")
+    baseline_kind = ("float64 numpy NR oracle solves/s, single env "
+                     "(pandapower-class proxy; reference trains 1 env)")
+    if base_sps is None:
+        grid, load_p, load_q, _ = make_case("case33")
+        base_sps = measure_baseline_oracle(grid, load_p, load_q)
+    else:
+        baseline_kind += "; pinned in BASELINE_ORACLE.json"
 
     print(json.dumps({
         "metric": "train env-steps/s/chip (8192 case33 envs, batched NR "
@@ -103,8 +124,7 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(env_sps / base_sps, 1),
         "baseline": round(base_sps, 1),
-        "baseline_kind": "float64 numpy NR oracle solves/s, single env "
-                         "(pandapower-class proxy; reference trains 1 env)",
+        "baseline_kind": baseline_kind,
         "n_envs": n_envs,
         "train_reward": float(stats.get("mean_train_reward", float("nan"))),
     }))

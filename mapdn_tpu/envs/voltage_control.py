@@ -84,6 +84,11 @@ class EnvConfig:
     # 10 matches pandapower's own NR iteration cap; lanes needing more
     # report diverged either way.
     pf_fixed_iter: Any = struct.field(pytree_node=False, default=None)
+    # Richardson refinement steps per Newton direction (pf.newton.nr_solve
+    # inner_iters): more inner steps -> a more exact Newton step -> fewer
+    # outer iterations, at 2 extra matmuls per inner step.  3 is the
+    # measured sweet spot at the bench config (r5 sweep, /tmp lab job 07).
+    pf_inner_iters: int = struct.field(pytree_node=False, default=3)
 
 
 @struct.dataclass
@@ -147,7 +152,7 @@ class VoltageControlEnv:
         self._solver = make_auto_solver(
             grid, tol=cfg.pf_tol, max_iter=cfg.pf_max_iter,
             backend=cfg.pf_backend, min_batch=cfg.pf_min_batch,
-            fixed_iter=cfg.pf_fixed_iter)
+            fixed_iter=cfg.pf_fixed_iter, inner_iters=cfg.pf_inner_iters)
 
         # line-vs-trafo branch mask for the reward's line-loss term
         # (reference reads res_line only, voltage_control_env.py:599-600)

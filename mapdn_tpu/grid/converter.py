@@ -27,16 +27,60 @@ def _zone_ids(zone_values):
     return ids
 
 
-def from_pandapower(net, name="imported", dtype=jnp.float32):
+def _reject(cond, what, detail):
+    """Refuse to convert a net feature we cannot represent.
+
+    A silently dropped feature would produce quietly wrong physics on a
+    real ``model.p``; raising makes the gap loud and names the fix."""
+    if cond:
+        raise ValueError(
+            f"from_pandapower: unsupported net feature: {what} ({detail}). "
+            "Extend mapdn_tpu.grid.converter/make_grid rather than "
+            "ignoring it — a dropped element changes the power flow.")
+
+
+def _check_in_service(net, table):
+    df = getattr(net, table, None)
+    if df is not None and len(df) and "in_service" in df.columns:
+        _reject((~df.in_service.astype(bool)).any(), f"{table}.in_service=False",
+                "out-of-service elements would need removing from the Y-bus")
+
+
+def from_pandapower(net, name="imported", dtype=jnp.float32,
+                    ignore_shift_degree=False):
     """Convert a live pandapower net.
 
     Returns (grid, base_load_p MW, base_load_q Mvar, sgen_p_max MW) like
     mapdn_tpu.grid.cases.make_case.  sgen_p_max here is the sgen p_mw column
     (the env recomputes s_max from the time-series maximum like the
     reference, voltage_control_env.py:515-521).
+
+    Unrepresentable features RAISE instead of being silently dropped:
+    out-of-service elements, multiple ext grids, nonzero ext-grid
+    ``va_degree``, and nonzero trafo ``shift_degree``.  Fixed shunts
+    (``net.shunt``) are supported as Y-bus diagonal terms.
+    ``ignore_shift_degree=True`` opts into dropping trafo phase shifts —
+    exactly what ``pp.runpp`` itself does on these distribution nets
+    (``calculate_voltage_angles`` resolves to False below 70 kV), so it is
+    reference-faithful, but it must be an explicit choice.
     """
     sn_mva = float(getattr(net, "sn_mva", 1.0))
     f_hz = float(getattr(net, "f_hz", 50.0))
+
+    for table in ("line", "trafo", "load", "sgen", "shunt", "ext_grid"):
+        _check_in_service(net, table)
+    for table in ("trafo3w", "impedance", "ward", "xward", "dcline", "gen",
+                  "storage"):
+        df = getattr(net, table, None)
+        _reject(df is not None and len(df), f"net.{table} rows",
+                "this element type has no Grid representation yet")
+
+    _reject(len(net.ext_grid) != 1, "ext_grid count != 1",
+            f"{len(net.ext_grid)} external grids; the solver has one slack")
+    if "va_degree" in net.ext_grid.columns:
+        _reject(abs(float(net.ext_grid.va_degree.iloc[0] or 0.0)) > 1e-9,
+                "ext_grid.va_degree != 0",
+                "the solver pins the slack angle at 0")
 
     bus_idx = list(net.bus.index)
     slack = int(net.ext_grid.bus.iloc[0])
@@ -61,6 +105,12 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
         is_line.append(1.0)
 
     if getattr(net, "trafo", None) is not None and len(net.trafo):
+        if not ignore_shift_degree and "shift_degree" in net.trafo.columns:
+            shifts = net.trafo.shift_degree.fillna(0.0).astype(float)
+            _reject((shifts.abs() > 1e-9).any(), "trafo.shift_degree != 0",
+                    "phase shifts need a complex tap in build_ybus; pass "
+                    "ignore_shift_degree=True to drop them like pp.runpp "
+                    "does with calculate_voltage_angles=False")
         for _, tr in net.trafo.iterrows():
             # standard short-circuit-data transformer model: series branch
             # whose impedance is referred to the LV side (pandapower's
@@ -99,6 +149,14 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
     load_p = net.load.p_mw.to_numpy(float)
     load_q = net.load.q_mvar.to_numpy(float)
 
+    shunt_bus = shunt_p = shunt_q = None
+    if getattr(net, "shunt", None) is not None and len(net.shunt):
+        sh = net.shunt
+        step = sh.step.to_numpy(float) if "step" in sh.columns else 1.0
+        shunt_bus = np.array([pos[int(b)] for b in sh.bus], np.int32)
+        shunt_p = sh.p_mw.to_numpy(float) * step
+        shunt_q = sh.q_mvar.to_numpy(float) * step
+
     sgen_bus = np.array([pos[int(b)] for b in net.sgen.bus], np.int32)
     sgen_zone = _zone_ids(net.sgen.name.to_numpy())
     sgen_p = net.sgen.p_mw.to_numpy(float)
@@ -111,7 +169,8 @@ def from_pandapower(net, name="imported", dtype=jnp.float32):
         max_i_ka=np.array(max_i), load_bus=load_bus, sgen_bus=sgen_bus,
         bus_zone=zones, sgen_zone=sgen_zone, slack_vm=vm_slack,
         sn_mva=sn_mva, f_hz=f_hz, tap=np.array(tap),
-        is_line=np.array(is_line), dtype=dtype)
+        is_line=np.array(is_line), shunt_bus=shunt_bus,
+        shunt_p_mw=shunt_p, shunt_q_mvar=shunt_q, dtype=dtype)
     return grid, load_p, load_q, sgen_p
 
 

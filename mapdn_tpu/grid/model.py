@@ -141,6 +141,9 @@ def make_grid(
     f_hz=50.0,
     tap=None,
     is_line=None,
+    shunt_bus=None,
+    shunt_p_mw=None,
+    shunt_q_mvar=None,
     dtype=jnp.float32,
 ):
     """Assemble a :class:`Grid` from physical-unit branch tables.
@@ -148,6 +151,12 @@ def make_grid(
     Per-unit conversion follows the distribution-network convention the
     reference relies on through pandapower (vn of the from bus as the
     branch voltage base; system power base ``sn_mva``).
+
+    ``shunt_*``: optional fixed shunt elements (pandapower ``net.shunt``
+    semantics: consumption P + jQ at 1.0 pu voltage).  A shunt consuming
+    S = P + jQ at |V| = 1 has admittance Y = (P - jQ)/sn_mva pu, added to
+    the Y-bus diagonal — it then flows through the solver, the flat-start
+    Jacobian and the rowsum-corrected currents with no other changes.
     """
     vn_kv = np.asarray(vn_kv, np.float64)
     f_bus = np.asarray(f_bus, np.int32)
@@ -166,6 +175,13 @@ def make_grid(
     b_pu = 2.0 * np.pi * f_hz * np.asarray(c_nf, np.float64) * 1e-9 * z_base
 
     g_mat, b_mat = build_ybus(n_bus, f_bus, t_bus, r_pu, x_pu, b_pu, tap)
+
+    if shunt_bus is not None and len(shunt_bus):
+        sb = np.asarray(shunt_bus, np.int32)
+        sp = np.asarray(shunt_p_mw, np.float64)
+        sq = np.asarray(shunt_q_mvar, np.float64)
+        np.add.at(g_mat, (sb, sb), sp / sn_mva)
+        np.add.at(b_mat, (sb, sb), -sq / sn_mva)
 
     # flat-start polar Jacobian (scaled-dVm formulation) and its inverse.
     # At Vm=1, Va=0 the blocks reduce to constants built from G/B row data:

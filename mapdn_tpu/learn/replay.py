@@ -39,7 +39,8 @@ def add(state: ReplayState, trans: dict) -> ReplayState:
     """Append one step of (n_env, ...) transitions (FIFO ring)."""
     capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
     data = jax.tree_util.tree_map(
-        lambda buf, x: buf.at[state.ptr].set(x), state.data, trans)
+        lambda buf, x: buf.at[state.ptr].set(x.astype(buf.dtype)),
+        state.data, trans)
     return ReplayState(
         data=data,
         ptr=(state.ptr + 1) % capacity,
@@ -57,14 +58,17 @@ def add_many(state: ReplayState, stacked) -> ReplayState:
     capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
     t = jax.tree_util.tree_leaves(stacked)[0].shape[0]
     if t >= capacity:
-        tail = jax.tree_util.tree_map(lambda x: x[t - capacity:], stacked)
+        tail = jax.tree_util.tree_map(
+            lambda buf, x: x[t - capacity:].astype(buf.dtype),
+            state.data, stacked)
         return ReplayState(
             data=tail,
             ptr=jnp.asarray(0, jnp.int32),
             size=jnp.asarray(capacity, jnp.int32))
     idx = (state.ptr + jnp.arange(t)) % capacity
     data = jax.tree_util.tree_map(
-        lambda buf, x: buf.at[idx].set(x), state.data, stacked)
+        lambda buf, x: buf.at[idx].set(x.astype(buf.dtype)),
+        state.data, stacked)
     return ReplayState(
         data=data,
         ptr=(state.ptr + t) % capacity,
@@ -87,6 +91,7 @@ def sample_window(state: ReplayState, key, batch_size: int,
     n_envs grows.
     """
     capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
+    n_env = jax.tree_util.tree_leaves(state.data)[0].shape[1]
     oldest = jnp.where(state.size < capacity, 0, state.ptr)
     k_start, k_lane = jax.random.split(key)
     if capacity == batch_size:
@@ -95,9 +100,18 @@ def sample_window(state: ReplayState, key, batch_size: int,
         # bandwidth) instead of a row-gather, which lowers to per-row DMA.
         # (A joint (row, lane) gather was tried in round 4 and is 2.6x
         # SLOWER than roll+slice — XLA's multi-axis gather of small rows
-        # can't stream.  When the same window feeds several epochs, hoist
-        # the roll and call subsample_lanes per epoch — see
-        # trainer._update_epochs.)
+        # can't stream.)
+        if lanes is not None and lanes < n_env:
+            # lane-subsampled epochs: gather the lane subset FIRST, then
+            # un-rotate only those lanes.  Roll and lane-gather commute,
+            # and the r4 xplane trace showed the whole-ring roll forcing
+            # ~8 ms of full-(capacity, n_env) relayout/convert copies per
+            # update phase while the epochs touch lanes/n_env of the data.
+            lane_idx = jax.random.choice(k_lane, n_env, (lanes,),
+                                         replace=False)
+            return jax.tree_util.tree_map(
+                lambda buf: jnp.roll(buf[:, lane_idx], -oldest, axis=0),
+                state.data)
         batch = jax.tree_util.tree_map(
             lambda buf: jnp.roll(buf, -oldest, axis=0), state.data)
     else:
@@ -148,7 +162,8 @@ def add_episode(state: ReplayState, traj) -> ReplayState:
     """Append one vectorized episode: traj is a (T, n_env, ...) pytree."""
     capacity = jax.tree_util.tree_leaves(state.data)[0].shape[0]
     data = jax.tree_util.tree_map(
-        lambda buf, x: buf.at[state.ptr].set(x), state.data, traj)
+        lambda buf, x: buf.at[state.ptr].set(x.astype(buf.dtype)),
+        state.data, traj)
     return ReplayState(
         data=data,
         ptr=(state.ptr + 1) % capacity,

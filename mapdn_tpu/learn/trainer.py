@@ -59,9 +59,24 @@ class PGTrainer:
             # episodes; cadences count episodes, not steps
             self._chunk_len = cfg.max_steps
             self._chunks_per_episode = 1
+            self._ring_capacity = None
+            self._stack_emit = False
         else:
             self._chunk_len = min(cfg.behaviour_update_freq, cfg.max_steps)
             self._chunks_per_episode = max(cfg.max_steps // self._chunk_len, 1)
+            self._ring_capacity = max(
+                cfg.batch_size, -(-int(cfg.replay_buffer_size) // cfg.n_envs))
+            # rollout store strategy: when a chunk fully refills the ring
+            # (chunk_len >= capacity, the usual vectorized regime), emit
+            # transitions as scan outputs and write the ring ONCE post-scan
+            # (rb.add_many keeps only the surviving `capacity`-row tail).
+            # Carrying the ring through the scan instead costs ~8 ms of
+            # whole-ring layout-conversion copies at the loop boundary (r5
+            # xplane trace) regardless of write volume.  When capacity >
+            # chunk_len (few lanes, big off-policy buffer) the in-scan ring
+            # write remains: a (chunk, lanes, ...) stack would duplicate
+            # HBM the ring already owns.
+            self._stack_emit = self._chunk_len >= self._ring_capacity
 
         self._jit_chunk = jax.jit(self._train_chunk, donate_argnums=(0,))
         self._jit_eval = jax.jit(self._eval_rollout)
@@ -101,9 +116,7 @@ class PGTrainer:
             # one env (replay_buffer.py:6); with n_envs lanes the
             # time-capacity is size/n_envs, floored at batch_size so window
             # sampling stays valid
-            capacity = max(cfg.batch_size,
-                           -(-int(cfg.replay_buffer_size) // self.n_envs))
-            replay = rb.init_replay(capacity, example)
+            replay = rb.init_replay(self._ring_capacity, example)
         return TrainerCarry(
             env_state=env_state, obs=obs, last_hid=last_hid, algo=algo,
             replay=replay, rng=k_rng, steps=jnp.asarray(0, jnp.int32))
@@ -112,11 +125,26 @@ class PGTrainer:
         n, a, h = self.model.n, self.model.act_dim, self.model.hid_dim
         h_next = h if self.model.stores_next_hidden else 0
         z = lambda *shape: jnp.zeros((self.n_envs,) + shape, obs.dtype)
+        # bulk fields (obs pair + GRU states dominate the ring's footprint)
+        # optionally stored bf16; scalars/actions/log-probs stay at compute
+        # precision (the PPO ratio exp(lp - lp_old) is sensitive to log-prob
+        # rounding, and they are a rounding-error share of the memory)
+        bdt = jnp.bfloat16 if self.cfg.replay_bf16 else obs.dtype
+        zb = lambda *shape: jnp.zeros((self.n_envs,) + shape, bdt)
         return Transition(
-            state=jnp.zeros_like(obs), action=z(n, a), log_prob_a=z(n, a),
+            state=zb(*obs.shape[1:]), action=z(n, a), log_prob_a=z(n, a),
             value=z(n), next_value=z(n), reward=z(n),
-            next_state=jnp.zeros_like(obs), done=z(), last_step=z(),
-            last_hid=z(n, h), hid=z(n, h_next))
+            next_state=zb(*obs.shape[1:]), done=z(), last_step=z(),
+            last_hid=zb(n, h), hid=zb(n, h_next))
+
+    def _upcast_batch(self, batch):
+        """Upcast bf16-stored replay fields to the compute dtype at sample
+        time (no-op unless cfg.replay_bf16)."""
+        if not self.cfg.replay_bf16:
+            return batch
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x, batch)
 
     # --------------------------------------------------------------- rollout
     def _rollout_value(self, algo, obs, act):
@@ -153,15 +181,20 @@ class PGTrainer:
     def _rollout_step(self, carry: TrainerCarry, _):
         """One vectorized rollout step.
 
-        The transition is written STRAIGHT INTO THE RING inside the scan
-        (one dynamic-update-slice per field) instead of being emitted as a
-        scan output: a (chunk_len, n_envs, ...) transition stack costs
-        2.7 GB at 8192 lanes and 11 GB at 32k (the round-3 32k-lane OOM),
-        while the ring holds only `capacity` rows.  Rollout-time critic
+        Transition storage has two strategies (picked in __init__):
+        ``_stack_emit`` (chunk_len >= capacity) emits the transition as a
+        scan output and writes the ring once post-scan — carrying the ring
+        through the scan costs ~8 ms of whole-ring layout-conversion
+        copies at the loop boundary (r5 xplane trace); with replay_bf16
+        the emitted bulk fields are bf16, so the stack is half-size.
+        Otherwise (capacity > chunk_len: few lanes, big off-policy buffer)
+        the transition is written STRAIGHT INTO THE RING inside the scan —
+        a full (chunk_len, n_envs, ...) stack would duplicate HBM the ring
+        already owns (the round-3 32k-lane OOM).  Rollout-time critic
         values (PPO's old_values) are filled post-scan on the ring's
         surviving rows only — the reference's rollout recomputes the
         next-state action and value every step just to throw them away
-        (model.py:211-222).  Episodic mode still emits whole trajectories
+        (model.py:211-222).  Episodic mode always emits whole trajectories
         (it stores full episodes, model.py:72-96)."""
         model = self.model
         rng, k_act, k_env = jax.random.split(carry.rng, 3)
@@ -205,7 +238,16 @@ class PGTrainer:
         new_carry = carry.replace(
             env_state=out.state, obs=out.obs, last_hid=next_hid,
             rng=rng, steps=carry.steps + 1)
-        if self.cfg.episodic:
+        if self.cfg.episodic or self._stack_emit:
+            if self.cfg.replay_bf16:
+                # downcast the bulk fields at emit time so the stacked
+                # (chunk, lanes, ...) trajectory is half-size in HBM
+                b = jnp.bfloat16
+                trans = trans.replace(
+                    state=trans.state.astype(b),
+                    next_state=trans.next_state.astype(b),
+                    last_hid=trans.last_hid.astype(b),
+                    hid=trans.hid.astype(b))
             return new_carry, (trans, step_stats)
         new_carry = new_carry.replace(replay=rb.add(new_carry.replay, trans))
         return new_carry, step_stats
@@ -239,17 +281,25 @@ class PGTrainer:
         outside the scan instead of re-gathering ~GBs per epoch."""
         cfg = self.cfg
         model = self.model
+        if epochs <= 0:
+            # a zero-epoch phase is a no-op, not a zero-length scan (whose
+            # unroll clamp would otherwise evaluate to 0 and trace-error)
+            return algo, {}
         capacity = jax.tree_util.tree_leaves(replay.data)[0].shape[0]
         lanes = cfg.update_lanes
         subsampling = lanes is not None and lanes < self.n_envs
         # a capacity==batch_size window is deterministically the whole
         # (un-rotated) buffer, so its roll is identical every epoch: hoist
-        # it out of the scan.  Without lane subsampling the whole batch is
-        # fixed; with subsampling only the cheap per-epoch lane gather
-        # stays inside (round-4 measurement: the per-epoch roll was ~60%
-        # of the update phase's wall time at 8192 lanes x 20 epochs)
+        # it out of the scan when the epochs consume ALL lanes.  With lane
+        # subsampling, sample_window instead gathers the per-epoch lane
+        # subset straight from the raw ring and rolls only those lanes
+        # (bitwise the same draws; the hoisted whole-ring roll forced
+        # ~8 ms of full-(capacity, n_envs) relayout copies per update
+        # phase in the r4 xplane trace while epochs read lanes/n_envs of
+        # the data)
         fixed_window = None
-        if capacity == cfg.batch_size and not cfg.episodic:
+        if (capacity == cfg.batch_size and not cfg.episodic
+                and not subsampling):
             fixed_window = rb.sample_window(replay, key, cfg.batch_size)
 
         def epoch(carry, k):
@@ -265,6 +315,7 @@ class PGTrainer:
             else:
                 batch = rb.sample_window(replay, k_samp, cfg.batch_size,
                                          lanes=lanes)
+            batch = self._upcast_batch(batch)
             if which == "value":
                 grads, vl = jax.grad(self._value_loss_fn, has_aux=True)(
                     algo.value_params, algo, batch, k_loss)
@@ -357,7 +408,8 @@ class PGTrainer:
         sampled row can predate the last parameter change."""
         replay = carry.replay
         data = replay.data
-        values = self._rollout_values_all(carry.algo, data.state)
+        values = self._rollout_values_all(
+            carry.algo, self._upcast_batch(data.state))
         v_last = self._rollout_value(carry.algo, carry.obs, None)
         cap = values.shape[0]
         next_values = jnp.roll(values, -1, axis=0)
@@ -371,7 +423,7 @@ class PGTrainer:
 
     def _train_chunk(self, carry: TrainerCarry):
         cfg = self.cfg
-        if cfg.episodic:
+        if cfg.episodic or self._stack_emit:
             carry, (trans, roll_stats) = jax.lax.scan(
                 self._rollout_step, carry, None, length=self._chunk_len,
                 unroll=min(max(cfg.rollout_unroll, 1), self._chunk_len))
@@ -383,7 +435,8 @@ class PGTrainer:
 
         if cfg.episodic:
             if self.model.stores_rollout_value:
-                values = self._rollout_values_all(carry.algo, trans.state)
+                values = self._rollout_values_all(
+                    carry.algo, self._upcast_batch(trans.state))
                 v_last = self._rollout_value(carry.algo, carry.obs, None)
                 next_values = jnp.concatenate(
                     [values[1:], v_last[None]], axis=0)
@@ -395,7 +448,11 @@ class PGTrainer:
             carry = carry.replace(replay=rb.add_episode(carry.replay, trans))
             return carry, roll_stats
 
-        # ring already written in-scan (see _rollout_step)
+        if self._stack_emit:
+            # one post-scan ring write; only the `capacity`-row tail of the
+            # stacked trajectory materializes (rb.add_many)
+            carry = carry.replace(replay=rb.add_many(carry.replay, trans))
+        # ring written (in-scan or just above)
         if self.model.stores_rollout_value:
             carry = self._fill_ring_values(carry)
 

@@ -251,23 +251,27 @@ def nr_solve(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20, inner_iters=3,
             done = jnp.logical_or(done, jnp.logical_or(err < tol, bad))
     else:
         def cond(carry):
-            v, fvec, cur, done, it = carry
+            v, fvec, cur, done, it, it_l = carry
             return jnp.logical_and(it < max_iter, ~jnp.all(done))
 
         def body(carry):
-            v, fvec, cur, done, it = carry
+            v, fvec, cur, done, it, it_l = carry
             d = newton_dir(fvec, v, cur)
             gate = 1.0 - done[..., None].astype(dtype)
             v2 = apply_update(v, d, gate)
+            # per-lane count: lanes already done at iteration start don't
+            # advance — same semantics as the fixed_iter path and the small
+            # Pallas kernel, so n_iter telemetry is backend-consistent
+            it_l = it_l + jnp.where(done, 0, 1)
             fvec2, cur2 = mismatch(v2)
             err = err_of(fvec2)
             bad = jnp.logical_or(~jnp.isfinite(err), vm_sq_max(v2) > 100.0)
             done2 = jnp.logical_or(done, jnp.logical_or(err < tol, bad))
-            return v2, fvec2, cur2, done2, it + 1
+            return v2, fvec2, cur2, done2, it + 1, it_l
 
-        v, fvec, cur, done, it_s = jax.lax.while_loop(
-            cond, body, (v0, fvec0, cur0, done0, jnp.asarray(0, jnp.int32)))
-        it = jnp.broadcast_to(it_s, batch_shape)
+        v, fvec, cur, done, _, it = jax.lax.while_loop(
+            cond, body, (v0, fvec0, cur0, done0, jnp.asarray(0, jnp.int32),
+                         jnp.zeros(batch_shape, jnp.int32)))
 
     err = err_of(fvec)
     converged = jnp.logical_and(err < tol, jnp.isfinite(err))

@@ -109,11 +109,30 @@ class PallasNRContext:
         self.tile = {128: 512, 256: 256}.get(npad, 64)
 
 
+def _grid_fingerprint(grid):
+    """Stable cache key for a grid's solver operands.
+
+    Hashes the exact inputs the contexts are built from (Y-bus, flat-start
+    Jacobian inverse, slack rowsums, slack magnitude) — NOT id(grid): a
+    recycled id after garbage collection must never alias a different
+    grid's operators, and the key must stay valid for the process
+    lifetime without pinning the grid object."""
+    import hashlib
+    h = hashlib.sha1()
+    for arr in (grid.g_mat, grid.b_mat, grid.j0_inv,
+                grid.rowsum_g, grid.rowsum_b):
+        a = np.ascontiguousarray(np.asarray(arr, np.float64))
+        h.update(a.tobytes())
+        h.update(repr(a.shape).encode())
+    h.update(repr((grid.name, int(grid.n_bus), float(grid.slack_vm))).encode())
+    return h.hexdigest()
+
+
 _CTX_CACHE = {}
 
 
 def get_ctx(grid) -> PallasNRContext:
-    key = id(grid)
+    key = _grid_fingerprint(grid)
     if key not in _CTX_CACHE:
         _CTX_CACHE[key] = PallasNRContext(grid)
     return _CTX_CACHE[key]
@@ -373,7 +392,7 @@ _CTX_SMALL_CACHE = {}
 
 
 def get_ctx_small(grid) -> PallasNRSmallContext:
-    key = id(grid)
+    key = _grid_fingerprint(grid)
     if key not in _CTX_SMALL_CACHE:
         _CTX_SMALL_CACHE[key] = PallasNRSmallContext(grid)
     return _CTX_SMALL_CACHE[key]
@@ -533,7 +552,7 @@ def nr_solve_pallas_small(grid, p_inj, q_inj, *, tol=1e-7, max_iter=20,
 
 
 def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
-                     min_batch=64, fixed_iter=None):
+                     min_batch=64, fixed_iter=None, inner_iters=3):
     """A per-lane NR solve that auto-dispatches under ``vmap``.
 
     Returns ``solve(p, q, vm0, va0) -> PFResult`` for one lane ((n,) arrays).
@@ -573,7 +592,8 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
 
     def _xla(p, q, vm0, va0):
         return nr_solve(grid, p, q, tol=tol, max_iter=max_iter,
-                        vm0=vm0, va0=va0, fixed_iter=fixed_iter)
+                        vm0=vm0, va0=va0, fixed_iter=fixed_iter,
+                        inner_iters=inner_iters)
 
     on_tpu = jax.default_backend() == "tpu"
     forced = backend == "pallas"
@@ -597,6 +617,7 @@ def make_auto_solver(grid, *, tol=1e-7, max_iter=20, backend="auto",
         if use_pallas and (forced or axis_size >= min_batch):
             kernel = nr_solve_pallas_small if small else nr_solve_pallas
             res = kernel(grid, p, q, tol=tol, max_iter=max_iter,
+                         inner_iters=inner_iters,
                          vm0=vm0, va0=va0, interpret=interpret)
             if res.vm.dtype != p.dtype:  # kernel computes in f32
                 res = jax.tree_util.tree_map(

@@ -33,13 +33,17 @@ def _drop_empty(tree):
 def _generations(path):
     """Sorted generation subdirectories under a checkpoint directory.
 
-    Matches only complete ``ckpt_<8 digits>`` names: orbax crash leftovers
+    Matches only complete ``ckpt_<digits>`` names (>= 8 digits; the zero
+    padding overflows past 1e8 episodes, so longer suffixes must still
+    count): orbax crash leftovers
     ('ckpt_<N>.orbax-checkpoint-tmp-<ts>') must not count toward ``keep``
-    or be offered to restore."""
+    or be offered to restore.  Sorted numerically by episode number —
+    lexicographic order would rank 9-digit names before 8-digit ones."""
     if not os.path.isdir(path):
         return []
-    return sorted(d for d in os.listdir(path)
-                  if re.fullmatch(r"ckpt_\d{8}", d))
+    return sorted((d for d in os.listdir(path)
+                   if re.fullmatch(r"ckpt_\d{8,}", d)),
+                  key=lambda d: int(d[len("ckpt_"):]))
 
 
 def save_checkpoint(path: str, carry, steps: int, episodes: int, *, keep=2):

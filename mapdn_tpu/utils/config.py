@@ -124,6 +124,11 @@ class AlgoConfig:
     gae_unroll: int = 8             # GAE reverse recursion (losses.py)
     update_epoch_unroll: int = 10   # optimizer-epoch scan (trainer.py)
     rollout_unroll: int = 2         # env-step rollout scan (trainer.py)
+    # store the replay ring's bulk tensors (state/next_state/hid) in
+    # bfloat16 (compute stays f32: batches are upcast at sample time).
+    # Halves the ring's HBM footprint — the residual blocker at 32k lanes
+    # (VERDICT r4 weak #6) — at ~3 decimal digits of obs precision.
+    replay_bf16: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -17,7 +17,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from bench import measure_baseline_oracle
+from bench import measure_baseline_oracle, pinned_baseline
 
 from mapdn_tpu.algos import make_model
 from mapdn_tpu.envs import EnvConfig, make_env
@@ -32,10 +32,13 @@ CASES = [("case33", 8192), ("case69", 8192), ("case141", 4096),
 
 
 def baseline_for(case):
-    """Per-scenario reference-class baseline: float64 numpy NR solves/s on
-    THIS case's network (the reference steps one pandapower env per process;
-    solve cost scales with bus count, so each scenario gets its own oracle
-    number instead of inheriting case33's)."""
+    """Per-scenario reference-class baseline: the PINNED oracle number from
+    BASELINE_ORACLE.json (scripts/pin_baseline.py; one protocol, one number
+    per case — VERDICT r4 weak #7), measured live only if the pin is
+    missing."""
+    pinned = pinned_baseline(case)
+    if pinned is not None:
+        return pinned
     grid, load_p, load_q, _ = make_case(case)
     return measure_baseline_oracle(grid, load_p, load_q)
 

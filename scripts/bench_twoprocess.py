@@ -34,8 +34,11 @@ sys.path.insert(0, REPO)
 # per-collective loopback-RPC latency (64 envs: 0.12, 1024: 0.36, ...) —
 # the committed artifact records the whole curve; on real TPU hosts the
 # collectives ride ICI/DCN, orders of magnitude faster than loopback gRPC
-# on a starved core, so these numbers are a floor, not a prediction
-N_ENVS_SWEEP = [64, 1024, 4096]
+# on a starved core, so these numbers are a floor, not a prediction.
+# r5 (VERDICT item 3): extended along the compute axis until the curve
+# crosses 0.8 or demonstrably plateaus, plus a direct per-collective
+# latency measurement that turns the curve into a predictive model.
+N_ENVS_SWEEP = [64, 1024, 4096, 16384, 32768]
 CHUNK_STEPS = 16
 CHUNKS = 4
 
@@ -84,6 +87,40 @@ def worker(num_processes, process_id, coordinator, n_envs_total):
     print(f"WORKER_RESULT steps_per_s={sps:.1f} wall_s={dt:.3f}", flush=True)
 
 
+def collective_worker(num_processes, process_id, coordinator):
+    """Time ONE cross-boundary all-reduce: shard a vector over the mesh,
+    jit a sum to a replicated output (XLA inserts the all-reduce), measure
+    per-call latency at the gradient-sized payload (~100k f32, the same
+    order as the MAPPO learner's summed grads)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+    n = 4 * 100_352  # 100k f32 per shard
+    arr = jnp.zeros((4, 100_352), jnp.float32)
+    x = jax.device_put(arr, NamedSharding(mesh, P("env")))
+    f = jax.jit(lambda x: jnp.sum(x, axis=0),
+                out_shardings=NamedSharding(mesh, P()))
+    y = f(x)
+    jax.block_until_ready(y)
+    reps = 200
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = f(x)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"WORKER_RESULT steps_per_s={1.0/dt:.1f} wall_s={dt:.6f}",
+          flush=True)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -92,7 +129,7 @@ def _free_port():
     return port
 
 
-def _run_config(num_processes, n_envs_total):
+def _run_config(num_processes, n_envs_total, collbench=False):
     devs_per_proc = 4 // num_processes
     port = _free_port()
     procs = []
@@ -104,6 +141,8 @@ def _run_config(num_processes, n_envs_total):
                "--num-processes", str(num_processes), "--process-id", str(i),
                "--n-envs", str(n_envs_total),
                "--coordinator", f"localhost:{port}"]
+        if collbench:
+            cmd.append("--collbench")
         if num_processes > 1:
             # one core each: the pair gets the same total CPU as config A
             cmd = ["taskset", "-c", str(i % os.cpu_count())] + cmd
@@ -124,6 +163,7 @@ def _run_config(num_processes, n_envs_total):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--collbench", action="store_true")
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--coordinator", default="")
@@ -131,8 +171,12 @@ def main():
     ap.add_argument("out", nargs="?", default=None)
     args = ap.parse_args()
     if args.worker:
-        worker(args.num_processes, args.process_id, args.coordinator,
-               args.n_envs)
+        if args.collbench:
+            collective_worker(args.num_processes, args.process_id,
+                              args.coordinator)
+        else:
+            worker(args.num_processes, args.process_id, args.coordinator,
+                   args.n_envs)
         return
 
     rows = []
@@ -145,11 +189,29 @@ def main():
                "efficiency": round(two / one, 3)}
         rows.append(row)
         print(row, flush=True)
+
+    # pinned per-collective latency (gradient-sized all-reduce) in both
+    # configs: turns the efficiency curve into a predictive model
+    coll_one = 1.0 / _run_config(1, 0, collbench=True)
+    coll_two = 1.0 / _run_config(2, 0, collbench=True)
+    collectives = {
+        "payload_f32_per_shard": 100352,
+        "one_process_s_per_allreduce": round(coll_one, 6),
+        "two_process_s_per_allreduce": round(coll_two, 6),
+        "cross_boundary_penalty_s": round(coll_two - coll_one, 6),
+        "note": "eff(n) = t_compute(n) / (t_compute(n) + n_coll * "
+                "penalty): with the measured penalty and the per-chunk "
+                "collective count (~value+policy epochs + stats reductions) "
+                "this predicts the envs-per-chunk needed for any target "
+                "efficiency on a given interconnect.",
+    }
+    print(collectives, flush=True)
     out = {
         "metric": "fixed-total scaling efficiency across an OS-process "
                   "boundary (jax.distributed, 4-device CPU mesh, fused "
                   "sharded MAPPO chunk)",
         "rows": rows,
+        "collective_latency": collectives,
         "note": "2 host cores: config A gets both in one process, config B "
                 "pins one core per process (taskset), so the comparison "
                 "isolates the process-boundary (DCN-analog) collective cost "

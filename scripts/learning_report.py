@@ -150,8 +150,9 @@ def main():
             s["metrics_path"] = os.path.relpath(
                 path, os.path.dirname(os.path.dirname(ART)))
             runs[name] = s
-            if name.endswith("_case322"):
-                cases_needed.add("case322")
+            for suffix in ("case322", "case141", "case69"):
+                if name.endswith("_" + suffix):
+                    cases_needed.add(suffix)
 
     out = {}
     for case in sorted(cases_needed):

@@ -36,6 +36,11 @@ RUNS = {a: (a, "case33_3min_final", "distributed") for a in ALGS}
 RUNS["maddpg_decentralised"] = ("maddpg", "case33_3min_final",
                                 "decentralised")
 RUNS["mappo_case322"] = ("mappo", "case322_3min_final", "distributed")
+# case69 is the second REAL published feeder (Baran & Wu 1989 69-bus,
+# validated against its published solution in tests/test_env.py): give it
+# the full case33 evidence protocol (VERDICT r4 item 7)
+RUNS["maddpg_case69"] = ("maddpg", "case69", "distributed")
+RUNS["mappo_case69"] = ("mappo", "case69", "distributed")
 
 EPISODES = 400
 N_ENVS = 512

@@ -317,6 +317,57 @@ class _DiscreteCfg:
         self.softmax_eps = softmax_eps
 
 
+def test_replay_bf16_storage_semantics():
+    """cfg.replay_bf16: bulk ring fields (state/next_state/hid) are stored
+    bfloat16 and upcast to f32 at sample time; small/precision-critical
+    fields (log-probs, rewards, values) stay f32, and a train chunk still
+    produces finite stats within bf16 rounding of the f32 run."""
+    from mapdn_tpu.algos import make_model
+    from mapdn_tpu.envs import EnvConfig, make_env
+    from mapdn_tpu.learn.trainer import PGTrainer
+    from mapdn_tpu.utils.config import load_config
+
+    env = make_env("case33", EnvConfig(episode_limit=8), days=4,
+                   dtype=jnp.float32)
+    info = env.get_env_info()
+    cfg, _ = load_config("mappo")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], max_steps=8, behaviour_update_freq=4,
+        batch_size=4, value_update_epochs=1, policy_update_epochs=1,
+        replay_buffer_size=16, n_envs=4, hid_size=16, replay_bf16=True)
+    model = make_model("mappo", cfg)
+    tr = PGTrainer(cfg, model, env).setup(seed=0)
+
+    d = tr.carry.replay.data
+    assert d.state.dtype == jnp.bfloat16
+    assert d.next_state.dtype == jnp.bfloat16
+    assert d.last_hid.dtype == jnp.bfloat16
+    assert d.log_prob_a.dtype == jnp.float32
+    assert d.reward.dtype == jnp.float32
+    assert d.value.dtype == jnp.float32
+
+    carry, stats = tr._jit_chunk(tr.carry)
+    carry, stats = tr._jit_chunk(carry)
+    assert all(np.isfinite(float(v)) for v in stats.values()), stats
+
+    # stored states match the f32 trajectory to bf16 rounding
+    cfg32 = cfg.replace(replay_bf16=False)
+    tr32 = PGTrainer(cfg32, make_model("mappo", cfg32), env).setup(seed=0)
+    c32, _ = tr32._jit_chunk(tr32.carry)
+    c16, _ = PGTrainer(cfg, model, env).setup(seed=0)._jit_chunk(
+        tr.init_carry(jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(
+        np.asarray(c16.replay.data.state, np.float32),
+        np.asarray(c32.replay.data.state, np.float32),
+        rtol=1e-2, atol=1e-2)
+
+    # upcast path: sampled batches are f32
+    batch = rb.sample_window(carry.replay, jax.random.PRNGKey(0), 4)
+    batch = tr._upcast_batch(batch)
+    assert batch.state.dtype == jnp.float32
+
+
 def test_multinomials_log_density_matches_closed_form():
     """For a hard one-hot, sum_i a_i log p_i is exactly log softmax(logits)
     at the chosen index (torch OneHotCategorical.log_prob semantics the
