@@ -82,31 +82,40 @@ def main():
     # lanes = 32k transitions (the reference's minibatch is 32).
     # reference cadence exactly (reference args/default.yaml): update every
     # 60 env steps with 10 value epochs + 1 policy epoch on batch 32
+    # replay_bf16: bulk replay fields stored bfloat16, compute f32 —
+    # learning parity A/B committed in artifacts/bf16_ab/summary.json
+    # (400-episode late-eval deltas < 3e-4 for mappo AND maddpg)
     cfg = cfg.replace(
         agent_num=info["n_agents"], obs_size=info["obs_shape"],
         action_dim=info["n_actions"], n_envs=n_envs,
         behaviour_update_freq=60, batch_size=32,
         value_update_epochs=10, policy_update_epochs=1,
-        update_lanes=1024)
+        update_lanes=1024, replay_bf16=True)
     model = make_model("mappo", cfg)
     trainer = PGTrainer(cfg, model, env).setup(seed=0)
 
-    # compile + warm up
-    trainer.carry, _ = trainer._jit_chunk(trainer.carry)
+    # compile + warm up the PRODUCTION dispatch: the fused whole-episode
+    # program (4 chunks + in-graph target updates per call).  Timing single
+    # chunks charges one tunnel round-trip per 60 steps — real training
+    # amortizes that 4x per dispatch, so the bench measures what training
+    # actually runs.
+    trainer.carry, _ = trainer._jit_episode(trainer.carry)
     jax.block_until_ready(trainer.carry.obs)
 
-    # median of per-chunk timings: the tunneled chip shows +-10% run
-    # variance, a 3-chunk aggregate was too noisy to compare rounds
-    chunks = 10
+    # median of per-episode timings: the tunneled chip shows +-10% run
+    # variance; the median decouples the round-over-round comparison from
+    # transient tunnel stalls
+    episodes = 8
+    steps_per_ep = trainer._chunk_len * trainer._chunks_per_episode
     times = []
-    for _ in range(chunks):
+    for _ in range(episodes):
         t0 = time.perf_counter()
-        trainer.carry, stats = trainer._jit_chunk(trainer.carry)
+        trainer.carry, stats = trainer._jit_episode(trainer.carry)
         jax.block_until_ready(trainer.carry.obs)
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
-    env_sps = trainer._chunk_len * n_envs / dt
+    env_sps = steps_per_ep * n_envs / dt
 
     base_sps = pinned_baseline("case33")
     baseline_kind = ("float64 numpy NR oracle solves/s, single env "
@@ -119,7 +128,8 @@ def main():
 
     print(json.dumps({
         "metric": "train env-steps/s/chip (8192 case33 envs, batched NR "
-                  "power flow, fused MAPPO learner)",
+                  "power flow, fused MAPPO learner; median fused-episode "
+                  "dispatch, the production training program)",
         "value": round(env_sps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(env_sps / base_sps, 1),

@@ -26,9 +26,11 @@ from mapdn_tpu.learn.trainer import PGTrainer
 from mapdn_tpu.utils.config import load_config
 
 # lanes sized to keep replay + rollout well inside one chip's HBM;
-# case69 is the bonus REAL Baran-Wu feeder (not a reference scenario)
+# case69 is the bonus REAL Baran-Wu feeder (not a reference scenario).
+# case322 moved 2048->4096 lanes in r5 (bf16 ring halves the footprint):
+# 492k -> 582k env-steps/s
 CASES = [("case33", 8192), ("case69", 8192), ("case141", 4096),
-         ("case322", 2048)]
+         ("case322", 4096)]
 
 
 def baseline_for(case):
@@ -53,7 +55,7 @@ def measure(case, n_envs, chunks=3, pf_backend="auto"):
         action_dim=info["n_actions"], n_envs=n_envs,
         behaviour_update_freq=60, batch_size=32,
         value_update_epochs=10, policy_update_epochs=1,
-        update_lanes=min(1024, n_envs))
+        update_lanes=min(1024, n_envs), replay_bf16=True)
     model = make_model("mappo", cfg)
     trainer = PGTrainer(cfg, model, env).setup(seed=0)
 
@@ -88,7 +90,7 @@ def main():
     # the XLA matrix-free path so the dispatch policy is justified
     # end-to-end, not just at the solver microbench
     if jax.default_backend() == "tpu":
-        row = measure("case322", 2048, pf_backend="xla")
+        row = measure("case322", 4096, pf_backend="xla")
         rows.append(row)
         print(row, flush=True)
         auto = next(r for r in rows

@@ -40,7 +40,7 @@ def measure(case, n_envs, chunks=3):
         action_dim=info["n_actions"], n_envs=n_envs,
         behaviour_update_freq=60, batch_size=32,
         value_update_epochs=10, policy_update_epochs=1,
-        update_lanes=min(1024, n_envs))
+        update_lanes=min(1024, n_envs), replay_bf16=True)
     model = make_model("mappo", cfg)
     trainer = PGTrainer(cfg, model, env).setup(seed=0)
 

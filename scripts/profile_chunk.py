@@ -62,7 +62,8 @@ def main():
         agent_num=info["n_agents"], obs_size=info["obs_shape"],
         action_dim=info["n_actions"], n_envs=n_envs,
         behaviour_update_freq=60, batch_size=32,
-        value_update_epochs=10, policy_update_epochs=1, update_lanes=1024)
+        value_update_epochs=10, policy_update_epochs=1, update_lanes=1024,
+        replay_bf16=True)  # bench.py config (parity A/B: artifacts/bf16_ab)
     model = make_model("mappo", cfg)
     trainer = PGTrainer(cfg, model, env).setup(seed=0)
 
@@ -96,21 +97,27 @@ def main():
     dt_roll = (time.perf_counter() - t0) / reps
     print(f"rollout only    : {dt_roll*1e3:8.1f} ms")
 
-    # env step only (no policy): fixed actions
-    acts = jnp.zeros((n_envs, env.grid.n_sgen), jnp.float32)
-
+    # env step only (no policy).  Actions are RESAMPLED noisy draws each
+    # step, not zeros: with frozen actions the warm-started NR converges in
+    # ~1.5 iterations vs ~3.1 under realistic action churn, which made the
+    # round-4 env-only baseline understate the env by ~25 ms and
+    # manufactured a phantom "interleave penalty" (r5 xplane trace).  The
+    # 0.3 noise scale matches the policy's exploration std; full-range
+    # random actions overshoot to ~4+ iterations.
     @jax.jit
     def env_only(env_state, key):
         def body(c, _):
             st, k = c
-            k, k2 = jax.random.split(k)
+            k, k2, k3 = jax.random.split(k, 3)
+            acts = jnp.tanh(0.3 * jax.random.normal(
+                k3, (n_envs, env.grid.n_sgen), jnp.float32))
             ks = jax.random.split(k2, n_envs)
             out = env.batched_auto_reset_step(st, acts, ks)
             return (out.state, k), None
         (st, _), _ = jax.lax.scan(body, (env_state, key), None, length=60)
         return st
     dt_env, _ = timeit(env_only, carry.env_state, jax.random.PRNGKey(0))
-    print(f"env steps only  : {dt_env*1e3:8.1f} ms")
+    print(f"env steps only  : {dt_env*1e3:8.1f} ms  (exploration-scale churn)")
 
     # bare NR solve, 60 sequential batched solves
     from mapdn_tpu.pf.newton import nr_solve
