@@ -104,9 +104,11 @@ def collective_worker(num_processes, process_id, coordinator):
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     mesh = Mesh(np.array(jax.devices()), ("env",))
-    n = 4 * 100_352  # 100k f32 per shard
-    arr = jnp.zeros((4, 100_352), jnp.float32)
-    x = jax.device_put(arr, NamedSharding(mesh, P("env")))
+    # build the sharded operand ON DEVICE via jit out_shardings: device_put
+    # of a host array cannot target non-addressable devices in the
+    # 2-process config
+    x = jax.jit(lambda: jnp.zeros((4, 100_352), jnp.float32),
+                out_shardings=NamedSharding(mesh, P("env")))()
     f = jax.jit(lambda x: jnp.sum(x, axis=0),
                 out_shardings=NamedSharding(mesh, P()))
     y = f(x)
@@ -190,21 +192,25 @@ def main():
         rows.append(row)
         print(row, flush=True)
 
-    # pinned per-collective latency (gradient-sized all-reduce) in both
-    # configs: turns the efficiency curve into a predictive model
-    coll_one = 1.0 / _run_config(1, 0, collbench=True)
-    coll_two = 1.0 / _run_config(2, 0, collbench=True)
-    collectives = {
-        "payload_f32_per_shard": 100352,
-        "one_process_s_per_allreduce": round(coll_one, 6),
-        "two_process_s_per_allreduce": round(coll_two, 6),
-        "cross_boundary_penalty_s": round(coll_two - coll_one, 6),
-        "note": "eff(n) = t_compute(n) / (t_compute(n) + n_coll * "
-                "penalty): with the measured penalty and the per-chunk "
-                "collective count (~value+policy epochs + stats reductions) "
-                "this predicts the envs-per-chunk needed for any target "
-                "efficiency on a given interconnect.",
-    }
+    # optional: pinned per-collective latency (gradient-sized all-reduce).
+    # On this container's 2 starved cores the bare-collective rendezvous
+    # deadlocks (all 4 device threads must arrive within the 40s
+    # rendezvous window; a tight collective-only loop starves them in a
+    # way the real train chunk, which interleaves compute, does not), so
+    # failure is tolerated — the efficiency curve crossing 0.8 is the
+    # primary deliverable.
+    try:
+        coll_one = 1.0 / _run_config(1, 0, collbench=True)
+        coll_two = 1.0 / _run_config(2, 0, collbench=True)
+        collectives = {
+            "payload_f32_per_shard": 100352,
+            "one_process_s_per_allreduce": round(coll_one, 6),
+            "two_process_s_per_allreduce": round(coll_two, 6),
+            "cross_boundary_penalty_s": round(coll_two - coll_one, 6),
+        }
+    except Exception as e:
+        collectives = {"status": "unmeasurable on this host",
+                       "error": str(e)[:200]}
     print(collectives, flush=True)
     out = {
         "metric": "fixed-total scaling efficiency across an OS-process "
