@@ -187,6 +187,14 @@ def main():
             save_checkpoint(ckpt_dir, trainer.carry, trainer.steps,
                             trainer.episodes)
             print("The model is saved!\n")
+    if is_main and cfg.train_episodes_num % cfg.save_model_freq != 0:
+        # final save: a run shorter than (or not divisible by) the save
+        # cadence must still leave a loadable model.pt for test.py — the
+        # reference's every-40-episodes rolling save silently loses runs
+        # under 40 episodes (reference train.py:117-119)
+        save_model(os.path.join(model_dir, "model.pt"), trainer.carry.algo)
+        save_checkpoint(ckpt_dir, trainer.carry, trainer.steps,
+                        trainer.episodes)
     # every process prints this (replication check for multi-process tests)
     leaves = jax.tree_util.tree_leaves(trainer.carry.algo.policy_params)
     norm = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
