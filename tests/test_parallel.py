@@ -41,6 +41,33 @@ def test_sharded_chunk_runs_and_matches_structure():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_chunk_with_bf16_ring():
+    """replay_bf16 composes with explicit sharding: the bf16 ring leaves
+    get lane-axis shardings like their f32 counterparts and a sharded
+    chunk still produces finite stats."""
+    env = make_env("case33", EnvConfig(episode_limit=16), days=8,
+                   dtype=jnp.float32)
+    info = env.get_env_info()
+    cfg, _ = load_config("mappo")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], max_steps=8, behaviour_update_freq=4,
+        batch_size=4, value_update_epochs=1, policy_update_epochs=1,
+        replay_buffer_size=64, n_envs=16, num_eval_episodes=2, hid_size=32,
+        replay_bf16=True)
+    model = make_model("mappo", cfg)
+    mesh = make_env_mesh(jax.devices()[:8])
+    trainer = ShardedPGTrainer(cfg, model, env, mesh=mesh).setup(seed=0)
+    assert trainer.carry.replay.data.state.dtype == jnp.bfloat16
+    carry, stats = trainer._jit_chunk(trainer.carry)
+    carry, stats = trainer._jit_chunk(carry)
+    assert all(np.isfinite(float(v)) for v in stats.values()), stats
+    shard_devs = {d for s in carry.replay.data.state.addressable_shards
+                  for d in [s.device]}
+    assert len(shard_devs) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_uneven_envs_rejected():
     env = make_env("case33", EnvConfig(episode_limit=8), days=8)
     info = env.get_env_info()
