@@ -39,6 +39,28 @@ def build_env_cfg(env_dict):
     )
 
 
+def _save(save_model, save_checkpoint, model_dir, ckpt_dir, trainer):
+    """Weights export always; full-state checkpoint single-process only.
+
+    The learner state (params/targets/optimizers) is replicated, so the
+    main process can serialize model.pt alone even under jax.distributed.
+    The full carry, however, holds env/replay arrays SHARDED across
+    processes: a main-only orbax save of those blocks fetching
+    non-addressable shards and deadlocks the shutdown barrier (caught by
+    tests/test_multiprocess.py), so the resumable checkpoint is written
+    only when this process owns everything."""
+    import os as _os
+
+    import jax as _jax
+    save_model(_os.path.join(model_dir, "model.pt"), trainer.carry.algo)
+    if _jax.process_count() == 1:
+        save_checkpoint(ckpt_dir, trainer.carry, trainer.steps,
+                        trainer.episodes)
+    else:
+        print("multi-process run: skipping the full resume checkpoint "
+              "(sharded carry; model.pt weights saved)")
+
+
 def main():
     parser = argparse.ArgumentParser(description="Train a MARL agent (TPU).")
     parser.add_argument("--save-path", type=str, default="./")
@@ -183,18 +205,14 @@ def main():
                   f"({env_sps:,.0f} env-steps/s aggregate)")
             for k, v in sorted(stat.items()):
                 print(f"{k}: {v:2.4f}")
-            save_model(os.path.join(model_dir, "model.pt"), trainer.carry.algo)
-            save_checkpoint(ckpt_dir, trainer.carry, trainer.steps,
-                            trainer.episodes)
+            _save(save_model, save_checkpoint, model_dir, ckpt_dir, trainer)
             print("The model is saved!\n")
     if is_main and cfg.train_episodes_num % cfg.save_model_freq != 0:
         # final save: a run shorter than (or not divisible by) the save
         # cadence must still leave a loadable model.pt for test.py — the
         # reference's every-40-episodes rolling save silently loses runs
         # under 40 episodes (reference train.py:117-119)
-        save_model(os.path.join(model_dir, "model.pt"), trainer.carry.algo)
-        save_checkpoint(ckpt_dir, trainer.carry, trainer.steps,
-                        trainer.episodes)
+        _save(save_model, save_checkpoint, model_dir, ckpt_dir, trainer)
     # every process prints this (replication check for multi-process tests)
     leaves = jax.tree_util.tree_leaves(trainer.carry.algo.policy_params)
     norm = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
