@@ -196,3 +196,59 @@ def test_tester_day_sweep():
     # different days see different data -> different telemetry
     assert not (out["average_voltage"][0] == out["average_voltage"][1]
                 == out["average_voltage"][2])
+
+
+def test_checkpoint_nine_digit_generations(tmp_path):
+    """Past 1e8 episodes the zero padding overflows to 9-digit names:
+    pruning must still count them and restore must rank them numerically
+    newest (lexicographic order would rank 'ckpt_099999999' after
+    'ckpt_100000000') — ADVICE r4 checkpoint.py finding."""
+    from mapdn_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    cdir = str(tmp_path / "gens9")
+    _, _, _, trainer = _tiny_trainer()
+    for ep in (99_999_998, 99_999_999, 100_000_000):
+        save_checkpoint(cdir, trainer.carry, ep * 2, ep)
+    # pruned to keep=2, and the 9-digit generation counted as NEWEST
+    # (lexicographically 'ckpt_100000000' < 'ckpt_99999999')
+    assert set(os.listdir(cdir)) == {"ckpt_99999999", "ckpt_100000000"}
+    _, steps, episodes = restore_checkpoint(cdir, trainer.carry)
+    assert (steps, episodes) == (200_000_000, 100_000_000)
+
+
+def test_zero_epoch_phase_is_noop():
+    """A phase configured with 0 epochs must be skipped, not traced as a
+    zero-length scan (whose unroll clamp would evaluate to 0 and error) —
+    ADVICE r4 trainer.py finding."""
+    env = make_env("case33", EnvConfig(episode_limit=8), days=8,
+                   dtype=jnp.float32)
+    info = env.get_env_info()
+    cfg, _ = load_config("iddpg")
+    cfg = cfg.replace(
+        agent_num=info["n_agents"], obs_size=info["obs_shape"],
+        action_dim=info["n_actions"], max_steps=8, behaviour_update_freq=4,
+        batch_size=4, value_update_epochs=0, policy_update_epochs=1,
+        replay_buffer_size=64, n_envs=2, num_eval_episodes=2, hid_size=32)
+    model = make_model("iddpg", cfg)
+    trainer = PGTrainer(cfg, model, env).setup(seed=0)
+    stats = trainer.run_episode()
+    assert np.isfinite(stats["mean_train_reward"])
+    # the value phase emitted no stats; the policy phase still ran
+    assert "mean_train_policy_loss" in stats
+
+
+def test_pallas_ctx_cache_keyed_by_content():
+    """get_ctx caches on a content fingerprint, not id(grid): two grids
+    with identical shapes but different impedances must get different
+    operator contexts, and an equal-content copy must hit the cache —
+    ADVICE r4 pallas_nr.py finding."""
+    from mapdn_tpu.grid.cases import make_case
+    from mapdn_tpu.pf.pallas_nr import get_ctx
+
+    g1 = make_case("case33", dtype=jnp.float32)[0]
+    g2 = make_case("case33", dtype=jnp.float32)[0]  # same content, new object
+    assert get_ctx(g1) is get_ctx(g2)
+
+    # perturb the Y-bus: same shapes/name, different physics
+    g3 = g1.replace(g_mat=g1.g_mat * 1.5)
+    assert get_ctx(g3) is not get_ctx(g1)
