@@ -119,3 +119,38 @@ def pf_res_plot(env, state, path="pf_res_plot", **kw):
         f.write(f"<html><body><img src='data:image/png;base64,{b64}'/>"
                 "</body></html>")
     return png_path
+
+
+def render_record(env, record, outdir, *, max_frames=48, dpi=100):
+    """Render a tester telemetry record to PNG frames.
+
+    The reference renders live inside its per-step python loop
+    (utilities/tester.py:42-43: ``self.env.render()`` each step); here the
+    whole day replays as ONE fused scan, so rendering happens post-hoc
+    from the recorded telemetry (which carries every field the figure
+    needs: vm, pl_mw, sgen_q, pv_p).  At most ``max_frames`` evenly-spaced
+    steps are drawn.  Returns the list of written paths.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    class _View:
+        pass
+
+    n = len(record["bus_voltage"])
+    every = max(1, n // max_frames)
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for i in range(0, n, every):
+        view = _View()
+        view.vm = np.asarray(record["bus_voltage"][i])
+        view.pl_mw = np.asarray(record["line_loss"][i])
+        view.sgen_q = np.asarray(record["pv_reactive"][i])
+        view.pv_p = np.asarray(record["pv_active"][i])
+        fig = make_figure(env, view)
+        path = os.path.join(outdir, f"step_{i:04d}.png")
+        fig.savefig(path, dpi=dpi)
+        plt.close(fig)
+        paths.append(path)
+    return paths

@@ -42,6 +42,11 @@ def main():
     parser.add_argument("--data-path", type=str, default=None)
     parser.add_argument("--days", type=int, default=40)
     parser.add_argument("--seed", type=int, default=0)
+    # reference test.py:23 --render: frames are rendered post-hoc from the
+    # recorded telemetry (the day replays as ONE fused scan; a per-step
+    # host render loop has no place in it)
+    parser.add_argument("--render", action="store_true",
+                        help="write PNG frames of the single-day replay")
     argv = parser.parse_args()
 
     cfg, env_dict = load_config(
@@ -91,6 +96,12 @@ def main():
         with open(out, "wb") as f:
             pickle.dump(record, f, pickle.HIGHEST_PROTOCOL)
         print(f"wrote {out} ({len(record['bus_voltage'])} steps)")
+        if argv.render:
+            from mapdn_tpu.envs.rendering import render_record
+            frames = render_record(
+                env, record, f"render_{log_name}_day{argv.test_day}")
+            print(f"wrote {len(frames)} frames to "
+                  f"{os.path.dirname(frames[0])}")
     else:
         results = tester.batch_run(argv.test_episodes)
         print("Test Results:")

@@ -252,3 +252,17 @@ def test_pallas_ctx_cache_keyed_by_content():
     # perturb the Y-bus: same shapes/name, different physics
     g3 = g1.replace(g_mat=g1.g_mat * 1.5)
     assert get_ctx(g3) is not get_ctx(g1)
+
+
+def test_render_record_frames(tmp_path):
+    """--render parity (reference test.py:23): a tester telemetry record
+    renders post-hoc to evenly-spaced PNG frames."""
+    from mapdn_tpu.envs.rendering import render_record
+
+    env, model, cfg, trainer = _tiny_trainer()
+    tester = PGTester(cfg, model, env, trainer.carry.algo)
+    record = tester.run(2, 10, 1)
+    outdir = str(tmp_path / "frames")
+    paths = render_record(env, record, outdir, max_frames=4)
+    assert 1 <= len(paths) <= 5
+    assert all(os.path.exists(p) and os.path.getsize(p) > 0 for p in paths)
