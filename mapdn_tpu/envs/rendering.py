@@ -121,15 +121,18 @@ def pf_res_plot(env, state, path="pf_res_plot", **kw):
     return png_path
 
 
-def render_record(env, record, outdir, *, max_frames=48, dpi=100):
-    """Render a tester telemetry record to PNG frames.
+def render_record(env, record, outdir, *, max_frames=48, dpi=100, gif=True):
+    """Render a tester telemetry record to PNG frames (+ animated GIF).
 
     The reference renders live inside its per-step python loop
     (utilities/tester.py:42-43: ``self.env.render()`` each step); here the
     whole day replays as ONE fused scan, so rendering happens post-hoc
     from the recorded telemetry (which carries every field the figure
     needs: vm, pl_mw, sgen_q, pv_p).  At most ``max_frames`` evenly-spaced
-    steps are drawn.  Returns the list of written paths.
+    steps are drawn; with ``gif=True`` (and Pillow available) they are
+    also assembled into ``<outdir>/replay.gif`` — the offline stand-in
+    for the reference's live viewer window.  Returns the list of written
+    frame paths.
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -153,4 +156,13 @@ def render_record(env, record, outdir, *, max_frames=48, dpi=100):
         fig.savefig(path, dpi=dpi)
         plt.close(fig)
         paths.append(path)
+    if gif and paths:
+        try:
+            from PIL import Image
+        except ImportError:
+            return paths
+        imgs = [Image.open(p).convert("P", palette=Image.ADAPTIVE)
+                for p in paths]
+        imgs[0].save(os.path.join(outdir, "replay.gif"), save_all=True,
+                     append_images=imgs[1:], duration=150, loop=0)
     return paths

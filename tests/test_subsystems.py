@@ -266,3 +266,5 @@ def test_render_record_frames(tmp_path):
     paths = render_record(env, record, outdir, max_frames=4)
     assert 1 <= len(paths) <= 5
     assert all(os.path.exists(p) and os.path.getsize(p) > 0 for p in paths)
+    gif = os.path.join(outdir, "replay.gif")
+    assert os.path.exists(gif) and os.path.getsize(gif) > 0
