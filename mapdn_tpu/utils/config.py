@@ -123,7 +123,10 @@ class AlgoConfig:
     # fused chunk 157 -> 142 ms; rollout unroll 4 only adds compile time.
     gae_unroll: int = 8             # GAE reverse recursion (losses.py)
     update_epoch_unroll: int = 10   # optimizer-epoch scan (trainer.py)
-    rollout_unroll: int = 2         # env-step rollout scan (trainer.py)
+    rollout_unroll: int = 4         # env-step rollout scan (trainer.py);
+    # r5 TPU sweep (artifacts/PERF_LAB.json unroll_sweep_r5): 4 beats 2 by
+    # ~1% and 1 by ~5% at the bench config, consistently across update
+    # unrolls
     # store the replay ring's bulk tensors (state/next_state/hid) in
     # bfloat16 (compute stays f32: batches are upcast at sample time).
     # Halves the ring's HBM footprint — the residual blocker at 32k lanes
